@@ -1,0 +1,82 @@
+"""seq_search end-to-end: exact kNN, range queries, persistence."""
+
+import numpy as np
+
+from tpu_knn import Index, Params
+
+
+def _mk_index(n=100, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = Index("l2", Params(dim=d), method="seq_search", data_type="dense_vector")
+    idx.add_dense_batch(x)
+    return idx, x
+
+
+def test_knn_exact_matches_numpy():
+    idx, x = _mk_index(101, 16)
+    q = x[:7] + 0.01
+    d, i = idx.knn_query_batch(q, k=5)
+    want = np.sqrt(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    wi = np.argsort(want, axis=1)[:, :5]
+    wd = np.take_along_axis(want, wi, axis=1)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(d, wd, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_single_and_autobuild():
+    idx, x = _mk_index(50, 8)
+    # no explicit build_index: auto-build on first query (lib.zig:800)
+    res = idx.knn_query(x[3], k=2)
+    assert res.ids[0] == 3
+    assert res.dists[0] < 1e-5
+
+
+def test_k_larger_than_corpus():
+    idx, x = _mk_index(5, 8)
+    res = idx.knn_query(x[0], k=10)
+    assert len(res) == 5  # only 5 objects exist
+
+
+def test_range_query():
+    idx, x = _mk_index(64, 4)
+    q = x[0]
+    res = idx.range_query(q, radius=1.0)
+    want = np.sqrt(((x - q[None, :]) ** 2).sum(-1))
+    want_ids = set(np.nonzero(want <= 1.0)[0].tolist())
+    assert set(res.ids.tolist()) == want_ids
+    assert np.all(res.dists <= 1.0 + 1e-6)
+
+
+def test_custom_ids():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    idx = Index("l2", Params(dim=4), method="seq_search")
+    idx.add_dense_batch(x, ids=[100, 101, 102, 103, 104, 105, 106, 107, 108, 109])
+    res = idx.knn_query(x[2], k=1)
+    assert res.ids[0] == 102
+
+
+def test_save_load_roundtrip(tmp_path):
+    idx, x = _mk_index(30, 8)
+    idx.build_index()
+    before = idx.knn_query(x[4], k=3)
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    idx2 = Index.load(p)
+    after = idx2.knn_query(x[4], k=3)
+    np.testing.assert_array_equal(before.ids, after.ids)
+    np.testing.assert_allclose(before.dists, after.dists, rtol=1e-6)
+    assert idx2.get_space_type() == "l2"
+    assert idx2.data_qty() == 30
+
+
+def test_reset_and_clear_cache():
+    idx, x = _mk_index(20, 4)
+    idx.build_index()
+    idx.clear_index_cache()
+    assert not idx.built
+    res = idx.knn_query(x[0], k=1)  # auto-rebuild
+    assert res.ids[0] == 0
+    idx.reset()
+    assert idx.data_qty() == 0

@@ -1,0 +1,5 @@
+"""Method registration (reference analog: include/factory/init_methods.h)."""
+
+from . import seq_search  # noqa: F401
+
+from .base import Method  # noqa: F401

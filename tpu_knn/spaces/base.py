@@ -1,0 +1,100 @@
+"""Space abstraction (reference: include/space.h:130-276, rebuilt for TPU).
+
+A reference ``Space`` computes one distance per object pair and owns
+object serialization. Here a Space owns:
+
+  * ``encode_dataset``  — DataStore -> padded device arrays, applying the
+    space's element transform once (the analog of precomputed-log /
+    precomputed-norm object layouts, distcomp.h:99-154,
+    space_l2sqr_sift.cc:136-150) and any normalization (hnsw.cc:441-446).
+  * ``encode_queries``  — raw query points -> transformed device arrays.
+  * ``block``           — the blocked distance: (encoded queries, slice of
+    encoded corpus) -> [Q, C] distances. This is the only hot op; every
+    index method is built on it.
+  * ``slice_data``      — traceable corpus chunk extraction for streaming
+    scans.
+  * ``pairwise``        — one-pair distance for getDistance
+    (reference: nmslib_c.cpp nmslib_get_distance).
+
+The reference's index/query-phase distance distinction (HiddenDistance vs
+IndexTimeDistance, space.h:136-142) is a mutability guard that functional
+JAX makes unnecessary; both phases call ``block``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..core.dataset import DataKind, DataStore, DistKind
+from ..core.errors import InvalidArgumentError
+from ..core.params import Params
+
+
+class Space:
+    name: str = "abstract"
+    dist_kind: DistKind = DistKind.FLOAT
+    data_kind: DataKind = DataKind.DENSE
+
+    def __init__(self, params: Params | None = None):
+        self.params = Params.of(params)
+
+    # -- corpus --
+    def encode_dataset(self, store: DataStore):
+        raise NotImplementedError
+
+    def slice_data(self, data, start, size):
+        """Return the chunk [start:start+size) of encoded corpus rows as the
+        structure ``block`` expects for its second argument. Must be
+        jit-traceable (start may be a traced index)."""
+        raise NotImplementedError
+
+    # -- queries --
+    def encode_queries(self, points: Any):
+        """points: host-side raw query batch in the store's native format."""
+        raise NotImplementedError
+
+    # -- distances --
+    def block(self, qenc, xchunk, precision: str = "float32"):
+        raise NotImplementedError
+
+    def pairwise(self, a, b) -> float:
+        """One-pair distance on raw points."""
+        qenc = self.encode_queries([a])
+        data = self._encode_raw_points([b])
+        d = self.block(qenc, self.slice_data(data, 0, 1))
+        v = np.asarray(d)[0, 0]
+        return int(round(float(v))) if self.dist_kind is DistKind.INT else float(v)
+
+    def _encode_raw_points(self, points):
+        """Encode a small list of raw points as corpus data (for pairwise)."""
+        store = DataStore(self.data_kind)
+        if self.data_kind is DataKind.DENSE:
+            store.add_dense_batch(np.asarray(points, dtype=np.float32))
+        elif self.data_kind is DataKind.UINT8:
+            store.add_uint8_batch(np.asarray(points, dtype=np.uint8))
+        elif self.data_kind is DataKind.SPARSE:
+            store.add_sparse_batch(points)
+        else:
+            store.add_string_batch(points)
+        return self.encode_dataset(store)
+
+    # -- misc --
+    def approx_equal(self, a, b, tol: float = 1e-5) -> bool:
+        """Reference: Space::ApproxEqual (space.h:203-207), testing aid."""
+        return bool(abs(self.pairwise(a, b)) <= tol)
+
+    def check_dim_param(self) -> int | None:
+        """l2/cosine-family spaces require an explicit dim param at index
+        creation (reference: lib.zig:351-378 validateCreateInputs)."""
+        return None
+
+    def __repr__(self):
+        return f"<Space {self.name}>"
+
+
+def require_positive(value, what: str):
+    if value is None or value <= 0:
+        raise InvalidArgumentError(f"{what} must be positive, got {value}")
+    return value

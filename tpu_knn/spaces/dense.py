@@ -1,0 +1,559 @@
+"""Dense vector spaces, matmul-factored for the MXU.
+
+Covers the reference space families (SURVEY.md §2.3): lp/l1/l2/linf
+(space_lp.h, distcomp_lp.cc), cosinesimil/angulardist/negdotprod
+(space_scalar.h, distcomp_scalar.cc), the Bregman-divergence family
+KL/generalized-KL/Itakura-Saito incl. the "rq" reversed-argument
+variants (space_bregman.h, distcomp_bregman.cc), Jensen-Shannon
+(space_js.h, distcomp_js.cc), alpha-beta and Renyi divergences
+(space_ab_diverg.h, space_renyi_diverg.h), the uint8 SIFT integer-L2^2
+space (space_l2sqr_sift.h, distcomp_l2sqr_sift.cc) and the dummy space
+(space_dummy.h).
+
+Where the reference stores precomputed logs/norms inside each Object's
+byte buffer, we precompute whole transformed corpus matrices + per-row
+terms at encode time so every distance block is a single MXU matmul (see
+ops/distance.py module docstring for the factorization table).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataset import (
+    DataKind,
+    DataStore,
+    DenseDeviceData,
+    DistKind,
+    round_up,
+)
+from ..core.errors import InvalidArgumentError
+from ..core.params import ParamManager, Params
+from ..core.registry import register_space
+from ..ops import distance as D
+from .base import Space
+
+#: Large-but-finite mask value for padded corpus rows (kept finite so that
+#: post-transforms like sqrt/arccos stay NaN-free).
+PAD_TERM = 1e30
+
+_TINY = 1e-30
+
+
+def _pad_rows(a: np.ndarray, n_pad: int) -> np.ndarray:
+    if a.shape[0] == n_pad:
+        return a
+    pad = np.zeros((n_pad - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _pad_ids(ids: np.ndarray, n_pad: int) -> np.ndarray:
+    """Pad the object-id vector with -1 so padding rows are recognizable."""
+    if ids.shape[0] == n_pad:
+        return ids
+    return np.concatenate([ids, np.full(n_pad - ids.shape[0], -1, dtype=ids.dtype)])
+
+
+def _pad_cols(a: np.ndarray, mult: int = 128) -> np.ndarray:
+    d = a.shape[1]
+    dp = round_up(max(d, 1), mult)
+    if dp == d:
+        return a
+    return np.concatenate([a, np.zeros((a.shape[0], dp - d), dtype=a.dtype)], axis=1)
+
+
+class DenseSpace(Space):
+    """Shared encode/slice machinery for dense float spaces.
+
+    Subclasses define ``_transform_x/_transform_q`` (element transforms),
+    ``_term_x/_term_q`` (per-row scalar terms) and ``_block_impl``.
+    """
+
+    data_kind = DataKind.DENSE
+    np_dtype = np.float32
+
+    # --- hooks ---
+    def _transform_x(self, v: np.ndarray) -> np.ndarray:
+        return v
+
+    def _transform_q(self, v: np.ndarray) -> np.ndarray:
+        return v
+
+    def _term_x(self, v: np.ndarray):
+        return None
+
+    def _term_q(self, v: np.ndarray):
+        return None
+
+    def _block_impl(self, qenc: dict, xc: dict, precision: str) -> jax.Array:
+        raise NotImplementedError
+
+    # --- Space interface ---
+    def encode_dataset(self, store: DataStore, row_multiple: int = 8) -> DenseDeviceData:
+        mat = store.dense_matrix().astype(np.float32)
+        n, dim = mat.shape
+        n_pad = round_up(max(n, 1), row_multiple)
+        term = self._term_x(mat)
+        xt = _pad_cols(self._transform_x(mat).astype(np.float32))
+        xt = _pad_rows(xt, n_pad)
+        pad = np.zeros(n_pad, np.float32)
+        pad[n:] = PAD_TERM
+        row_term = None
+        if term is not None:
+            row_term = _pad_rows(np.asarray(term, np.float32), n_pad)
+        ids = _pad_ids(np.asarray(store.ids, np.int32).reshape(-1), n_pad)
+        data = DenseDeviceData(
+            vecs=jnp.asarray(xt),
+            ids=jnp.asarray(ids),
+            count=n,
+            dim=dim,
+            row_term=None if row_term is None else jnp.asarray(row_term),
+        )
+        data.extra["pad"] = jnp.asarray(pad)
+        return data
+
+    def encode_queries(self, points) -> dict:
+        q = np.asarray(points, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        term = self._term_q(q)
+        qt = _pad_cols(self._transform_q(q).astype(np.float32))
+        enc = {"q": jnp.asarray(qt)}
+        if term is not None:
+            enc["q_term"] = jnp.asarray(np.asarray(term, np.float32))
+        return enc
+
+    def slice_data(self, data: DenseDeviceData, start, size) -> dict:
+        xc = {"x": jax.lax.dynamic_slice_in_dim(data.vecs, start, size, 0)}
+        xc["pad"] = jax.lax.dynamic_slice_in_dim(data.extra["pad"], start, size, 0)
+        if data.row_term is not None:
+            xc["x_term"] = jax.lax.dynamic_slice_in_dim(data.row_term, start, size, 0)
+        for k, v in data.extra.items():
+            if k not in ("pad",) and hasattr(v, "ndim"):
+                xc[k] = jax.lax.dynamic_slice_in_dim(v, start, size, 0)
+        return xc
+
+    def block(self, qenc, xc, precision: str = "float32") -> jax.Array:
+        d = self._block_impl(qenc, xc, precision)
+        return d + xc["pad"][None, :]
+
+
+# ---------------- Lp family ----------------
+
+
+class LpSpaceBase(DenseSpace):
+    """Lp norms (reference: space_lp.h:49-67, distcomp_lp.cc). p == 2 goes
+    through the MXU norm identity; p in {1, inf} and generic p use the
+    blocked VPU path."""
+
+    def __init__(self, params: Params | None = None, p: float = 2.0):
+        super().__init__(params)
+        self.p = float(p)
+
+    def _term_x(self, v):
+        return D.sq_norms(jnp.asarray(v)) if self.p == 2.0 else None
+
+    def _term_q(self, v):
+        return D.sq_norms(jnp.asarray(v)) if self.p == 2.0 else None
+
+    def _block_impl(self, qenc, xc, precision):
+        if self.p == 2.0:
+            d2 = D.factored(
+                qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0, precision=precision
+            )
+            return jnp.sqrt(jnp.maximum(d2, 0.0))
+        if self.p == 1.0:
+            return D.l1_blocked(qenc["q"], xc["x"])
+        if math.isinf(self.p):
+            return D.linf_blocked(qenc["q"], xc["x"])
+        return D.lp_blocked(qenc["q"], xc["x"], self.p)
+
+
+@register_space("l2")
+class L2Space(LpSpaceBase):
+    name = "l2"
+
+    def __init__(self, params=None):
+        super().__init__(params, p=2.0)
+
+
+@register_space("l1")
+class L1Space(LpSpaceBase):
+    name = "l1"
+
+    def __init__(self, params=None):
+        super().__init__(params, p=1.0)
+
+
+@register_space("linf")
+class LinfSpace(LpSpaceBase):
+    name = "linf"
+
+    def __init__(self, params=None):
+        super().__init__(params, p=math.inf)
+
+
+@register_space("lp")
+class LpSpace(LpSpaceBase):
+    name = "lp"
+
+    def __init__(self, params=None):
+        pm = ParamManager(params)
+        p = pm.get("p", 2.0, float)
+        pm.check_unused()
+        if p <= 0:
+            raise InvalidArgumentError("lp requires p > 0")
+        super().__init__(params, p=p)
+
+
+# ---------------- scalar-product family ----------------
+
+
+def _normalize_rows(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return np.where(n > 0, v / np.maximum(n, _TINY), v)
+
+
+@register_space("cosinesimil")
+class CosineSpace(DenseSpace):
+    """1 - cos. Rows pre-normalized at encode, matching the reference's
+    HNSW optimization (hnsw.cc:441-446) but applied universally."""
+
+    name = "cosinesimil"
+
+    def _transform_x(self, v):
+        return _normalize_rows(v)
+
+    def _transform_q(self, v):
+        return _normalize_rows(v)
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.cosine_blocked(qenc["q"], xc["x"], precision)
+
+
+@register_space("angulardist")
+class AngularSpace(DenseSpace):
+    name = "angulardist"
+
+    def _transform_x(self, v):
+        return _normalize_rows(v)
+
+    def _transform_q(self, v):
+        return _normalize_rows(v)
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.angular_blocked(qenc["q"], xc["x"], precision)
+
+
+@register_space("negdotprod")
+class NegDotProdSpace(DenseSpace):
+    name = "negdotprod"
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.negdot_blocked(qenc["q"], xc["x"], precision)
+
+
+# ---------------- Bregman divergences ----------------
+
+
+def _safe_log(v):
+    return np.log(np.maximum(v, _TINY))
+
+
+class KLDivSpace(DenseSpace):
+    """KL divergence family (reference: space_bregman.h,
+    distcomp_bregman.cc). ``generalized`` adds the (-sum q + sum x) terms
+    of the generalized KL; ``reversed`` ("rq") computes KL(x||q)."""
+
+    def __init__(self, params=None, generalized=False, reversed_=False):
+        super().__init__(params)
+        self.generalized = generalized
+        self.reversed = reversed_
+
+    def _transform_x(self, v):
+        return v if self.reversed else _safe_log(v)
+
+    def _transform_q(self, v):
+        return _safe_log(v) if self.reversed else v
+
+    def _term_x(self, v):
+        if self.reversed:
+            # sum x log x (+ generalized: - sum x ... note sign below)
+            t = np.sum(v * _safe_log(v), axis=1)
+            if self.generalized:
+                t = t - np.sum(v, axis=1)
+            return t
+        return np.sum(v, axis=1) if self.generalized else None
+
+    def _term_q(self, v):
+        if self.reversed:
+            return np.sum(v, axis=1) if self.generalized else None
+        t = np.sum(v * _safe_log(v), axis=1)
+        if self.generalized:
+            t = t - np.sum(v, axis=1)
+        return t
+
+    def _block_impl(self, qenc, xc, precision):
+        g = D.matmul(qenc["q"], xc["x"], precision)  # q . log x  (or log q . x)
+        d = -g
+        if "q_term" in qenc:
+            d = d + qenc["q_term"][:, None]
+        if "x_term" in xc:
+            d = d + xc["x_term"][None, :]
+        return d
+
+
+@register_space("kldivfast")
+class KLDivFast(KLDivSpace):
+    name = "kldivfast"
+
+
+@register_space("kldivfastrq")
+class KLDivFastRQ(KLDivSpace):
+    name = "kldivfastrq"
+
+    def __init__(self, params=None):
+        super().__init__(params, reversed_=True)
+
+
+@register_space("kldivgenfast")
+class KLDivGenFast(KLDivSpace):
+    name = "kldivgenfast"
+
+    def __init__(self, params=None):
+        super().__init__(params, generalized=True)
+
+
+@register_space("kldivgenfastrq")
+class KLDivGenFastRQ(KLDivSpace):
+    name = "kldivgenfastrq"
+
+    def __init__(self, params=None):
+        super().__init__(params, generalized=True, reversed_=True)
+
+
+@register_space("kldivgenslow")
+class KLDivGenSlow(KLDivSpace):
+    name = "kldivgenslow"
+
+    def __init__(self, params=None):
+        super().__init__(params, generalized=True)
+
+
+class ItakuraSaitoSpace(DenseSpace):
+    """IS(q,x) = q.(1/x) - sum log q + sum log x - d."""
+
+    def __init__(self, params=None, reversed_=False):
+        super().__init__(params)
+        self.reversed = reversed_
+
+    def _transform_x(self, v):
+        return v if self.reversed else 1.0 / np.maximum(v, _TINY)
+
+    def _transform_q(self, v):
+        return 1.0 / np.maximum(v, _TINY) if self.reversed else v
+
+    def _term_x(self, v):
+        s = np.sum(_safe_log(v), axis=1)
+        return -s if self.reversed else s
+
+    def _term_q(self, v):
+        s = np.sum(_safe_log(v), axis=1)
+        return s if self.reversed else -s
+
+    def _block_impl(self, qenc, xc, precision):
+        g = D.matmul(qenc["q"], xc["x"], precision)
+        return g + qenc["q_term"][:, None] + xc["x_term"][None, :] - qenc["_dim"]
+
+    def encode_queries(self, points):
+        enc = super().encode_queries(points)
+        d = np.asarray(points)
+        enc["_dim"] = jnp.float32(d.shape[-1] if d.ndim > 1 else d.shape[0])
+        return enc
+
+
+@register_space("itakurasaitofast")
+class ISFast(ItakuraSaitoSpace):
+    name = "itakurasaitofast"
+
+
+@register_space("itakurasaitoslow")
+class ISSlow(ItakuraSaitoSpace):
+    name = "itakurasaitoslow"
+
+
+@register_space("itakurasaitofastrq")
+class ISFastRQ(ItakuraSaitoSpace):
+    name = "itakurasaitofastrq"
+
+    def __init__(self, params=None):
+        super().__init__(params, reversed_=True)
+
+
+# ---------------- Jensen-Shannon ----------------
+
+
+class JSDivSpace(DenseSpace):
+    """JS divergence, blocked VPU (not matmul-factorable because of
+    log(q+x); reference: distcomp_js.cc)."""
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.js_div_blocked(qenc["q"], xc["x"])
+
+
+@register_space("js_div_slow")
+class JSDivSlow(JSDivSpace):
+    name = "js_div_slow"
+
+
+@register_space("js_div_fast")
+class JSDivFast(JSDivSpace):
+    name = "js_div_fast"
+
+
+@register_space("js_div_fast_approx")
+class JSDivFastApprox(JSDivSpace):
+    name = "js_div_fast_approx"
+
+
+# ---------------- alpha-beta / Renyi divergences ----------------
+
+
+class AlphaBetaDivSpace(DenseSpace):
+    """Alpha-beta divergence (reference: space_ab_diverg.h,
+    src/distcomp_diverg.cc), alpha, beta != 0, alpha+beta != 0."""
+
+    def __init__(self, params=None):
+        pm = ParamManager(params)
+        self.alpha = pm.get("alpha", 1.0, float)
+        self.beta = pm.get("beta", 1.0, float)
+        pm.check_unused()
+        if self.alpha == 0 or self.beta == 0 or self.alpha + self.beta == 0:
+            raise InvalidArgumentError(
+                "abdiv requires alpha != 0, beta != 0, alpha+beta != 0"
+            )
+        super().__init__(params)
+
+    def _transform_x(self, v):
+        return np.maximum(v, _TINY) ** self.beta
+
+    def _transform_q(self, v):
+        return np.maximum(v, _TINY) ** self.alpha
+
+    def _term_x(self, v):
+        return np.sum(np.maximum(v, _TINY) ** (self.alpha + self.beta), axis=1)
+
+    def _term_q(self, v):
+        return np.sum(np.maximum(v, _TINY) ** (self.alpha + self.beta), axis=1)
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.abdiv_blocked(
+            qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], self.alpha, self.beta, precision
+        )
+
+
+@register_space("abdiv_fast")
+class ABDivFast(AlphaBetaDivSpace):
+    name = "abdiv_fast"
+
+
+@register_space("abdiv_slow")
+class ABDivSlow(AlphaBetaDivSpace):
+    name = "abdiv_slow"
+
+
+class RenyiDivSpace(DenseSpace):
+    """Renyi divergence D_a(q||x) = log(sum q^a x^(1-a)) / (a-1), a != 1."""
+
+    def __init__(self, params=None):
+        pm = ParamManager(params)
+        self.alpha = pm.get("alpha", 0.5, float)
+        pm.check_unused()
+        if self.alpha == 1.0 or self.alpha <= 0:
+            raise InvalidArgumentError("renyidiv requires alpha > 0, alpha != 1")
+        super().__init__(params)
+
+    def _transform_x(self, v):
+        return np.maximum(v, _TINY) ** (1.0 - self.alpha)
+
+    def _transform_q(self, v):
+        return np.maximum(v, _TINY) ** self.alpha
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.renyi_blocked(qenc["q"], xc["x"], self.alpha, precision)
+
+
+@register_space("renyidiv_fast")
+class RenyiDivFast(RenyiDivSpace):
+    name = "renyidiv_fast"
+
+
+@register_space("renyidiv_slow")
+class RenyiDivSlow(RenyiDivSpace):
+    name = "renyidiv_slow"
+
+
+# ---------------- uint8 SIFT integer L2^2 ----------------
+
+
+@register_space("l2sqr_sift")
+class L2SqrSiftSpace(DenseSpace):
+    """Exact integer squared-L2 over uint8[128] descriptors (reference:
+    space_l2sqr_sift.cc:136-150, distcomp_l2sqr_sift.cc:41-151). Uses the
+    same norm identity; f32 accumulation is exact here (values bounded by
+    128 * 255^2 < 2^24)."""
+
+    name = "l2sqr_sift"
+    data_kind = DataKind.UINT8
+    dist_kind = DistKind.INT
+    np_dtype = np.uint8
+
+    def encode_dataset(self, store: DataStore, row_multiple: int = 8):
+        mat = store.dense_matrix()  # uint8
+        if mat.shape[0] and mat.shape[1] != 128:
+            raise InvalidArgumentError("l2sqr_sift requires 128-byte descriptors")
+        fm = mat.astype(np.float32)
+        store_f = store  # ids etc.
+        n, dim = fm.shape
+        n_pad = round_up(max(n, 1), row_multiple)
+        x = _pad_rows(_pad_cols(fm), n_pad)
+        x_sq = _pad_rows(np.sum(fm * fm, axis=1).astype(np.float32), n_pad)
+        pad = np.zeros(n_pad, np.float32)
+        pad[n:] = PAD_TERM
+        ids = _pad_ids(np.asarray(store_f.ids, np.int32).reshape(-1), n_pad)
+        data = DenseDeviceData(
+            vecs=jnp.asarray(x), ids=jnp.asarray(ids), count=n, dim=dim, row_term=jnp.asarray(x_sq)
+        )
+        data.extra["pad"] = jnp.asarray(pad)
+        return data
+
+    def encode_queries(self, points):
+        q = np.asarray(points, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        return {
+            "q": jnp.asarray(_pad_cols(q)),
+            "q_term": jnp.asarray(np.sum(q * q, axis=1).astype(np.float32)),
+        }
+
+    def _block_impl(self, qenc, xc, precision):
+        d = D.factored(qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0)
+        return jnp.maximum(d, 0.0)
+
+
+# ---------------- dummy ----------------
+
+
+@register_space("dummy")
+class DummySpace(DenseSpace):
+    """Trivial example space (reference: space_dummy.h): L1 on dense
+    vectors — enough to exercise the method machinery end-to-end."""
+
+    name = "dummy"
+
+    def _block_impl(self, qenc, xc, precision):
+        return D.l1_blocked(qenc["q"], xc["x"])
