@@ -1,0 +1,108 @@
+"""HNSW: recall vs exact oracle, API semantics, persistence.
+
+Mirrors the reference acceptance style (SURVEY.md §4): recall@k
+assertions vs brute force + workflow round-trips.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_knn import Index, Params, SpaceIncompatibleError
+
+
+def _recall(idx, exact, q, k):
+    gd, gi = exact.knn_query_batch(q, k)
+    d, i = idx.knn_query_batch(q, k)
+    return np.mean([len(set(gi[r]) & set(i[r])) / k for r in range(len(q))])
+
+
+BUILD = Params(M=8, efConstruction=60, waveSize=128, seed=0)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((800, 24)).astype(np.float32)
+    q = rng.standard_normal((50, 24)).astype(np.float32)
+    return x, q
+
+
+def test_hnsw_recall_l2(corpus):
+    x, q = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(BUILD)
+    exact = Index("l2", Params(dim=24), method="seq_search")
+    exact.add_dense_batch(x)
+    idx.set_query_time_params(Params(efSearch=100))
+    assert _recall(idx, exact, q, 10) >= 0.9
+
+
+def test_hnsw_self_query(corpus):
+    x, _ = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(BUILD)
+    idx.set_query_time_params(Params(efSearch=50))
+    res = idx.knn_query(x[17], k=1)
+    assert res.ids[0] == 17
+    assert res.dists[0] < 1e-4
+
+
+def test_hnsw_cosine(corpus):
+    x, q = corpus
+    idx = Index("cosinesimil", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(BUILD)
+    exact = Index("cosinesimil", Params(dim=24), method="seq_search")
+    exact.add_dense_batch(x)
+    idx.set_query_time_params(Params(efSearch=100))
+    assert _recall(idx, exact, q, 10) >= 0.9
+
+
+def test_hnsw_range_raises(corpus):
+    x, _ = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x[:100])
+    with pytest.raises(SpaceIncompatibleError):
+        idx.range_query(x[0], 1.0)
+
+
+def test_hnsw_save_load(tmp_path, corpus):
+    x, q = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(BUILD)
+    idx.set_query_time_params(Params(efSearch=50))
+    before = idx.knn_query(q[0], k=5)
+    p = str(tmp_path / "h")
+    idx.save(p)
+    idx2 = Index.load(p)
+    idx2.set_query_time_params(Params(efSearch=50))
+    after = idx2.knn_query(q[0], k=5)
+    np.testing.assert_array_equal(before.ids, after.ids)
+
+
+def test_hnsw_ef_synonym_conflict(corpus):
+    x, _ = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x[:64])
+    idx.build_index(Params(M=4, efConstruction=20, waveSize=64))
+    from tpu_knn.core.errors import InvalidArgumentError
+
+    with pytest.raises(InvalidArgumentError):
+        idx.set_query_time_params(Params(ef=10, efSearch=20))
+
+
+def test_hnsw_uint8_sift():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 255, (300, 128), dtype=np.uint8)
+    idx = Index("l2sqr_sift", Params(dim=128), "hnsw", "dense_uint8_vector", "int")
+    idx.add_uint8_batch(x)
+    idx.build_index(Params(M=8, efConstruction=40, waveSize=128))
+    idx.set_query_time_params(Params(efSearch=60))
+    res = idx.knn_query(x[5], k=3)
+    assert res.ids[0] == 5
+    assert res.dists[0] == 0
+    # integer distances
+    assert np.all(res.dists == np.rint(res.dists))

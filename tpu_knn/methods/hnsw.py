@@ -1,0 +1,401 @@
+"""HNSW — hierarchical navigable small-world graph, TPU-native.
+
+Reference: include/method/hnsw.h, src/method/hnsw.cc (SURVEY.md §2.2).
+What is preserved: the layered structure (geometric level sampling with
+mult = 1/ln(M), hnsw.h:478-483), efConstruction-bounded candidate
+search, neighbor-selection heuristic (delaunay_type=2, hnsw.h:129-168),
+bidirectional linking with shrink-on-overflow (hnsw.h:258-314), maxM0 =
+2M level-0 capacity, and the ef-bounded best-first query search.
+
+What is redesigned for TPU (SURVEY.md §7):
+  * The graph IS the reference's "optimized flat index" (hnsw.cc:353-470)
+    made explicit: level-0 adjacency i32[N, maxM0], upper levels
+    i32[N_l, maxM]. Insertion order is sorted by level (descending), so
+    the nodes present on level l are exactly internal ids < N_l — no
+    slot maps or per-node link-list allocations, and the global entry
+    point is internal id 0.
+  * Construction is *batched insertion waves*: a whole wave of points
+    runs beam search against the frozen pre-wave graph at once, neighbor
+    selection is vectorized, and reverse edges are applied with a
+    sort/group/scatter pass instead of per-node mutexes
+    (hnsw.cc:238-247). Within-wave connectivity is preserved by merging
+    each point's nearest wave-mates into its candidate set.
+  * Queries run as one batched beam search (ops/graph.py).
+
+Parameter surface matches the reference (hnsw.cc:185-218, 472-507):
+M, maxM, maxM0, efConstruction, mult, delaunay_type, post,
+indexThreadQty, skip_optimized_index; query-time ef/efSearch, algoType.
+Range search raises, as in the reference (hnsw.cc:710-715).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataset import DataStore, round_up
+from ..core.errors import IndexNotBuiltError, SpaceIncompatibleError
+from ..core.params import ParamManager, Params
+from ..core.registry import register_method
+from ..ops import graph as G
+from ..ops.topk import INF
+from ..utils.logging import log
+from ..utils.rng import np_rng
+from .base import Method
+
+NEG1 = jnp.int32(-1)
+
+
+def _corpus_dict(data) -> dict:
+    c = {"vecs": data.vecs, "pad": data.extra["pad"]}
+    if data.row_term is not None:
+        c["term"] = data.row_term
+    return c
+
+
+def _gather_qenc(qenc_all: dict, ids, n_total: int):
+    """Gather per-node query encodings at arbitrary node-id arrays."""
+    out = {}
+    for k, v in qenc_all.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n_total:
+            out[k] = v[ids]
+        else:
+            out[k] = v
+    return out
+
+
+def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
+    """d(a_i, b_j) for per-row candidate sets: ids_a [B, C], ids_b [B, C2]
+    -> [B, C, C2]. Uses each candidate's own query encoding against
+    gathered corpus rows, so it is valid for every space (including
+    asymmetric divergences)."""
+    b = ids_a.shape[0]
+    safe_b = jnp.clip(ids_b, 0, corpus["vecs"].shape[0] - 1)
+    rows = corpus["vecs"][safe_b]  # [B, C2, D]
+    pad = corpus["pad"][safe_b] + jnp.where(ids_b < 0, INF, 0.0)
+    extra = {}
+    if corpus.get("term") is not None:
+        extra["x_term"] = corpus["term"][safe_b]
+
+    qe = _gather_qenc(qenc_all, jnp.clip(ids_a, 0, n_total - 1), n_total)
+
+    def one(qe_row, r, p, ex):
+        xc = {"x": r, "pad": p}
+        xc.update(ex)
+        return space.block(qe_row, xc)  # [C, C2]
+
+    axes_q = {
+        k: (0 if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] == b else None)
+        for k, v in qe.items()
+    }
+    d = jax.vmap(one, in_axes=(axes_q, 0, 0, {k: 0 for k in extra}))(qe, rows, pad, extra)
+    return jnp.where(ids_a[:, :, None] < 0, INF, d)
+
+
+# ---------------- jitted search ----------------
+
+
+@partial(jax.jit, static_argnames=("space", "ef", "k", "expand"))
+def _hnsw_search(space, qenc, data, level0, upper, ef: int, k: int, expand: int):
+    corpus = _corpus_dict(data)
+    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    cur = jnp.zeros(b, jnp.int32)
+    cur_d = G.score_rows(space, qenc, corpus, cur[:, None])[:, 0]
+    for adj in reversed(upper):
+        cur, cur_d = G.greedy_descent(space, qenc, corpus, adj, None, cur, cur_d)
+    beam_d, beam_i, nd = G.beam_search(
+        space, qenc, corpus, level0, None, cur, ef=ef, expand=expand
+    )
+    d, pos = beam_d[:, :k], beam_i[:, :k]
+    ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, data.ids.shape[0] - 1)], -1)
+    return d, ids, nd
+
+
+@register_method("hnsw")
+class Hnsw(Method):
+    name = "hnsw"
+    supports_range = False
+
+    def __init__(self, space, params: Params | None = None):
+        super().__init__(space, params)
+        pm = ParamManager(self.index_params)
+        self.M = pm.get("M", 16, int)
+        self.maxM = pm.get("maxM", self.M, int)
+        self.maxM0 = pm.get("maxM0", 2 * self.M, int)
+        self.ef_construction = pm.get("efConstruction", 200, int)
+        self.mult = pm.get("mult", 1.0 / math.log(max(self.M, 2)), float)
+        self.delaunay_type = pm.get("delaunay_type", 2, int)
+        self.post = pm.get("post", 0, int)
+        pm.get("indexThreadQty", 0, int)  # parity no-op: waves batch instead
+        pm.get("skip_optimized_index", 0, int)  # flat layout is the only layout
+        self.wave = pm.get("waveSize", 256, int)
+        self.wave_mates = pm.get("waveMates", 8, int)
+        self.expand = pm.get("searchExpand", 4, int)
+        self.seed = pm.get("seed", 0, int)
+        pm.check_unused()
+        # query-time defaults (reference: ef/efSearch default 20, hnsw.cc:483)
+        self.ef_search = 20
+        self.graph = None
+        self._upper: list = []
+        self.levels = None
+        self.order = None
+        self.dist_comps = 0
+
+    # ---------------- query-time params ----------------
+
+    def set_query_time_params(self, params: Params | None) -> None:
+        pm = ParamManager(Params.of(params))
+        self.ef_search = pm.get_synonym(["ef", "efSearch"], self.ef_search, int)
+        pm.get("algoType", "hybrid", str)  # parity no-op: single search algo
+        self.expand = pm.get("searchExpand", self.expand, int)
+        pm.check_unused()
+        super().set_query_time_params(params)
+
+    # ---------------- construction ----------------
+
+    def create_index(self, store: DataStore, params: Params | None = None) -> None:
+        self.store = store
+        n = len(store)
+        rng = np_rng(self.seed)
+        # geometric level sampling (reference: hnsw.h:478-483)
+        u = rng.random(max(n, 1))
+        levels = np.minimum(
+            np.floor(-np.log(np.maximum(u, 1e-12)) * self.mult), 32
+        ).astype(np.int32)[:n]
+        order = np.argsort(-levels, kind="stable")
+        self.order = order
+        self.levels = levels[order]
+        self.data = self.space.encode_dataset(store, row_multiple=8)
+        n_pad = self.data.ids.shape[0]
+        if n == 0:
+            self.graph = {"level0": jnp.full((n_pad, self.maxM0), NEG1)}
+            self._upper = []
+            return
+        self.data = self._reorder_data(self.data, order, n)
+        self._qenc_all = self.space.encode_queries(self._raw_matrix(store)[order])
+        # row count of the per-node query encodings (unpadded)
+        self._n_total = n
+
+        max_level = int(self.levels.max(initial=0))
+        level0 = jnp.full((n_pad, self.maxM0), NEG1)
+        upper = [
+            jnp.full((max(int(np.sum(self.levels >= l)), 1), self.maxM), NEG1)
+            for l in range(1, max_level + 1)
+        ]
+
+        w = int(min(self.wave, n))
+        num_waves = (n + w - 1) // w
+        step = self._make_wave_step(w, max_level)
+        wl_all = np.concatenate([self.levels, np.full(num_waves * w - n, -1, np.int32)])
+        for wi in range(num_waves):
+            start = wi * w
+            level0, upper = step(
+                level0, upper, jnp.int32(start), jnp.asarray(wl_all[start : start + w])
+            )
+        self.graph = {"level0": level0}
+        self._upper = upper
+        log("DEBUG", f"hnsw built: n={n} max_level={max_level} waves={num_waves}")
+
+    def _raw_matrix(self, store: DataStore) -> np.ndarray:
+        return store.dense_matrix()
+
+    def _reorder_data(self, data, order, n):
+        perm = np.concatenate([order, np.arange(n, data.ids.shape[0])]).astype(np.int32)
+        p = jnp.asarray(perm)
+        data.vecs = data.vecs[p]
+        data.ids = data.ids[p]
+        if data.row_term is not None:
+            data.row_term = data.row_term[p]
+        data.extra = {
+            k: (v[p] if hasattr(v, "ndim") and v.ndim >= 1 else v)
+            for k, v in data.extra.items()
+        }
+        return data
+
+    # ----- the batched insertion wave -----
+
+    def _make_wave_step(self, w: int, max_level: int):
+        space = self.space
+        corpus = _corpus_dict(self.data)
+        qenc_all = self._qenc_all
+        n_total = self._n_total
+        efc, m, m0cap, mcap = self.ef_construction, self.M, self.maxM0, self.maxM
+        mates = min(self.wave_mates, w)
+        expand = self.expand
+        exact_heur = self.delaunay_type != 0
+        oob = jnp.int32(2**30)
+
+        def level_candidates(adj, start, wave_ids, wl, l, cur):
+            """Beam over the frozen graph + nearest wave-mates, heuristic-
+            selected down to M forward neighbors. Returns (sel [W,M],
+            best_d [W], best_i [W]) where best_* trace the closest point
+            seen (for entry hand-off to the next level)."""
+            qe = _gather_qenc(qenc_all, wave_ids, n_total)
+            beam_d, beam_i, _ = G.beam_search(
+                space, qe, corpus, adj, None, cur, ef=efc, expand=expand
+            )
+            frozen_ok = (beam_i < start) & (beam_i >= 0)
+            beam_i = jnp.where(frozen_ok, beam_i, NEG1)
+            beam_d = jnp.where(frozen_ok, beam_d, INF)
+
+            mate_ids = jnp.broadcast_to(wave_ids[None, :], (w, w))
+            mate_d = _score_pairs(
+                space, qenc_all, n_total, corpus, wave_ids[:, None], mate_ids
+            )[:, 0, :]
+            bad = (mate_ids == wave_ids[:, None]) | (wl[None, :] < l) | (wl[None, :] < 0)
+            mate_d = jnp.where(bad, INF, mate_d)
+            mneg, mpos = jax.lax.top_k(-mate_d, mates)
+            mate_sel = jnp.take_along_axis(mate_ids, mpos, 1)
+            mate_sel = jnp.where(mneg > -INF, mate_sel, NEG1)
+            mate_dd = jnp.where(mneg > -INF, -mneg, INF)
+            dup = jnp.any(mate_sel[:, :, None] == beam_i[:, None, :], axis=2)
+            mate_sel = jnp.where(dup, NEG1, mate_sel)
+            mate_dd = jnp.where(dup, INF, mate_dd)
+
+            cand_i = jnp.concatenate([beam_i, mate_sel], axis=1)
+            cand_d = jnp.concatenate([beam_d, mate_dd], axis=1)
+            cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
+            pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
+            keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
+            sel = G.pack_selected(cand_i, keep, m)
+            connect = (wl >= l) & (wl >= 0)
+            sel = jnp.where(connect[:, None], sel, NEG1)
+            return sel, cand_d[:, 0], cand_i[:, 0]
+
+        def scatter_forward(adj, cap, sel, wave_ids, connect):
+            fwd = (
+                jnp.concatenate([sel, jnp.full((w, cap - m), NEG1)], axis=1)
+                if cap > m
+                else sel[:, :cap]
+            )
+            tgt = jnp.where(connect, wave_ids, oob)
+            return adj.at[tgt].set(fwd, mode="drop")
+
+        def reverse_update(adj, cap, sel, wave_ids, connect):
+            """Insert each wave node into its selected neighbors' rows;
+            overflowing rows are shrunk with the heuristic (reference:
+            hnsw.h:258-314 link + addFriendlevel shrink)."""
+            p_ids = jnp.broadcast_to(wave_ids[:, None], sel.shape).reshape(-1)
+            n_ids = sel.reshape(-1)
+            valid = (n_ids >= 0) & jnp.broadcast_to(connect[:, None], sel.shape).reshape(-1)
+            npairs = n_ids.shape[0]
+            skey = jnp.where(valid, n_ids, oob)
+            order = jnp.argsort(skey)
+            sn, sp, sv = skey[order], p_ids[order], valid[order]
+            first = (jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]])) & sv
+            gid = jnp.cumsum(first) - 1  # group index (valid rows only)
+            gid = jnp.clip(gid, 0, npairs - 1)
+            iar = jnp.arange(npairs, dtype=jnp.int32)
+            gstart = (
+                jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
+            )
+            pos = iar - gstart[gid]
+            gcap = mates  # insertion cap per neighbor per wave
+            okslot = sv & (pos < gcap)
+            new_c = jnp.full((npairs, gcap), NEG1)
+            new_c = new_c.at[
+                jnp.where(okslot, gid, npairs), jnp.clip(pos, 0, gcap - 1)
+            ].set(jnp.where(okslot, sp, NEG1), mode="drop")
+            grp_n = jnp.full(npairs, NEG1).at[gid].max(jnp.where(first, sn, NEG1))
+            grp_valid = grp_n >= 0
+            base = jnp.where(grp_valid, grp_n, 0)
+
+            old = adj[base]  # [P, cap]
+            cand = jnp.concatenate([old, new_c], axis=1)  # [P, cap+gcap]
+            qe = _gather_qenc(qenc_all, base, n_total)
+            base_d = G.score_rows(space, qe, corpus, cand)
+            old_deg = jnp.sum(old >= 0, axis=1)
+            add_cnt = jnp.sum(new_c >= 0, axis=1)
+            overflow = old_deg + add_cnt > cap
+
+            # append path: valid entries first, order preserved
+            ckey = jnp.where(cand >= 0, 0, 1) * jnp.int32(cand.shape[1]) + (
+                jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+            )
+            aorder = jnp.argsort(ckey, axis=1)
+            appended = jnp.take_along_axis(cand, aorder, 1)[:, :cap]
+
+            # shrink path: heuristic over all candidates of the row owner
+            sd, si = jax.lax.sort((base_d, cand), num_keys=1)
+            pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
+            keep = G.select_neighbors_heuristic(sd, pair_d, cap, exact=exact_heur)
+            shrunk = G.pack_selected(si, keep, cap)
+
+            newrow = jnp.where(overflow[:, None], shrunk, appended)
+            tgt = jnp.where(grp_valid, base, oob)
+            return adj.at[tgt].set(newrow, mode="drop")
+
+        def wave_step(level0, upper, start, wl):
+            wave_ids = start + jnp.arange(w, dtype=jnp.int32)
+            qe = _gather_qenc(qenc_all, wave_ids, n_total)
+            cur = jnp.zeros(w, jnp.int32)  # global entry = internal id 0
+            cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
+            new_upper = list(upper)
+            for l in range(max_level, 0, -1):
+                adj = new_upper[l - 1]
+                connect = (wl >= l) & (wl >= 0)
+                sel, best_d, best_i = level_candidates(adj, start, wave_ids, wl, l, cur)
+                adj = scatter_forward(adj, mcap, sel, wave_ids, connect)
+                adj = reverse_update(adj, mcap, sel, wave_ids, connect)
+                new_upper[l - 1] = adj
+                better = (best_i >= 0) & (best_d < cur_d)
+                cur = jnp.where(better, best_i, cur)
+                cur_d = jnp.where(better, best_d, cur_d)
+            connect0 = wl >= 0
+            sel, _, _ = level_candidates(level0, start, wave_ids, wl, 0, cur)
+            level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
+            level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
+            return level0, new_upper
+
+        return jax.jit(wave_step)
+
+    # ---------------- search ----------------
+
+    def knn(self, points, k: int):
+        if self.graph is None:
+            raise IndexNotBuiltError("hnsw: index not built")
+        qenc = self.space.encode_queries(points)
+        ef = max(self.ef_search, k)
+        d, ids, nd = _hnsw_search(
+            self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
+            ef, k, self.expand,
+        )
+        self.dist_comps += int(nd)
+        return self._finalize_knn(d, ids)
+
+    def range(self, points, radius):
+        raise SpaceIncompatibleError("Range search is not supported!")
+
+    # ---------------- persistence ----------------
+
+    def state_arrays(self) -> dict:
+        out = {
+            "level0": np.asarray(self.graph["level0"]),
+            "levels": np.asarray(self.levels),
+            "order": np.asarray(self.order),
+            "meta": np.asarray([self.M, self.maxM, self.maxM0, self.ef_construction]),
+        }
+        for i, u in enumerate(self._upper):
+            out[f"upper_{i}"] = np.asarray(u)
+        return out
+
+    def restore(self, store: DataStore, state: dict, params: Params | None = None) -> None:
+        if not state:
+            self.create_index(store, params)
+            return
+        self.store = store
+        self.levels = np.asarray(state["levels"])
+        self.order = np.asarray(state["order"])
+        n = len(store)
+        self.data = self.space.encode_dataset(store, row_multiple=8)
+        self.data = self._reorder_data(self.data, self.order, n)
+        self.graph = {"level0": jnp.asarray(state["level0"])}
+        ups = sorted(
+            (k for k in state if k.startswith("upper_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        self._upper = [jnp.asarray(state[k]) for k in ups]

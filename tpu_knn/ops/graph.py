@@ -1,0 +1,257 @@
+"""Batched graph-search primitives: the TPU rebuild of HNSW traversal.
+
+Reference hot paths (SURVEY.md §3.2/3.3): greedy 1-NN descent through
+upper levels (hnsw.cc:547-576) and the ef-bounded best-first beam at
+level 0 (`kSearchElementsWithAttemptsLevel` / `SearchV1Merge`,
+hnsw.cc:611-708, hnsw_distfunc_opt.cc:152-283). There, one query walks
+pointers and scores one neighbor at a time with a KNNQueue/SortArrBI
+and an epoch-stamped visited byte array.
+
+Here (BASELINE.json north star): a whole *batch* of queries advances in
+lock step. Each iteration expands the EXPAND closest unexpanded beam
+entries per query at once, gathers their adjacency rows, scores the
+whole [B, EXPAND*M] candidate frontier with one blocked distance call,
+and merges into the beam with one sort. Visited tracking is replaced by
+dedup-against-beam (duplicates are masked before entering the beam;
+re-scoring a dropped node is allowed and merely wastes a few cheap
+FLOPs, while re-*expansion* is prevented because a re-inserted node can
+only re-enter the beam by beating the current ef-th distance).
+
+Everything is shape-static and jit/while_loop friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.topk import INF
+
+NEG1 = jnp.int32(-1)
+
+
+def _qenc_axes(qenc: dict, batch: int):
+    """in_axes tree for vmapping a per-query slice of an encoded query dict."""
+    return {
+        k: (0 if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == batch else None)
+        for k, v in qenc.items()
+    }
+
+
+def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
+    """Distances between query b and its own gathered candidate rows.
+
+    ids: i32[B, K] corpus row indices (may be -1 / padding; those score +INF).
+    corpus: {'vecs': [N,D], 'pad': [N], optional 'term': [N], extra arrays}.
+    Returns f32[B, K].
+
+    Works for every space because it reuses Space.block on a per-query
+    basis (vmapped batched matvec on the MXU for factored spaces).
+    """
+    b, k = ids.shape
+    safe = jnp.clip(ids, 0, corpus["vecs"].shape[0] - 1)
+    rows = corpus["vecs"][safe]  # [B, K, D]
+    pad = corpus["pad"][safe] + jnp.where(ids < 0, INF, 0.0)  # [B, K]
+    extra_sl = {}
+    if corpus.get("term") is not None:
+        extra_sl["x_term"] = corpus["term"][safe]
+    for key, arr in corpus.items():
+        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
+            extra_sl[key] = arr[safe]
+
+    axes = _qenc_axes(qenc, b)
+
+    def one(qe, r, p, ex):
+        # restore the (length-1) query axis stripped by vmap
+        qe = {k: (v[None] if axes[k] == 0 else v) for k, v in qe.items()}
+        xc = {"x": r, "pad": p}
+        xc.update(ex)
+        return space.block(qe, xc)[0]
+
+    ex_axes = {k: 0 for k in extra_sl}
+    d = jax.vmap(one, in_axes=(axes, 0, 0, ex_axes))(qenc, rows, pad, extra_sl)
+    return jnp.where(ids < 0, INF, d)
+
+
+def greedy_descent(
+    space,
+    qenc: dict,
+    corpus: dict,
+    adj: jax.Array,  # i32[S, M] adjacency for this level (slot-indexed)
+    slot_of: jax.Array,  # i32[N] corpus idx -> slot (valid for nodes on level)
+    start: jax.Array,  # i32[B] current node per query (corpus idx)
+    start_d: jax.Array,  # f32[B]
+    max_steps: int = 64,
+):
+    """Greedy 1-NN walk on one upper level (reference: hnsw.cc:547-576).
+    Per step: gather current node's M neighbors, score, move to the best
+    if it improves; stop when no query improves."""
+
+    def cond(state):
+        cur, cur_d, moved, it = state
+        return jnp.logical_and(jnp.any(moved), it < max_steps)
+
+    def body(state):
+        cur, cur_d, _, it = state
+        if slot_of is None:
+            slots = cur
+        else:
+            slots = slot_of[jnp.clip(cur, 0, slot_of.shape[0] - 1)]
+        nbrs = adj[jnp.clip(slots, 0, adj.shape[0] - 1)]  # [B, M]
+        nbrs = jnp.where(slots[:, None] < 0, NEG1, nbrs)
+        d = score_rows(space, qenc, corpus, nbrs)  # [B, M]
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
+        best_i = jnp.take_along_axis(nbrs, best[:, None], 1)[:, 0]
+        improve = best_d < cur_d
+        ncur = jnp.where(improve, best_i, cur)
+        ncur_d = jnp.where(improve, best_d, cur_d)
+        return ncur, ncur_d, improve, it + 1
+
+    init = (start, start_d, jnp.ones(start.shape[0], bool), jnp.int32(0))
+    cur, cur_d, _, _ = jax.lax.while_loop(cond, body, init)
+    return cur, cur_d
+
+
+def beam_search(
+    space,
+    qenc: dict,
+    corpus: dict,
+    adj: jax.Array,  # i32[S, M] (slot-indexed; level-0 slot == corpus idx)
+    slot_of: jax.Array | None,  # i32[N] or None when slot==idx
+    entry: jax.Array,  # i32[B] entry node per query
+    ef: int,
+    expand: int = 4,
+    max_iters: int | None = None,
+):
+    """Batched best-first beam search on one graph level.
+
+    Returns (beam_d f32[B,ef], beam_i i32[B,ef]) sorted ascending, plus
+    the number of candidate scorings performed (dist-comp counter analog,
+    reference: query.h:33).
+    """
+    b = entry.shape[0]
+    m = adj.shape[1]
+    k_cand = expand * m
+    if max_iters is None:
+        max_iters = max(2 * ((ef + expand - 1) // expand) + 4, 8)
+
+    entry_d = score_rows(space, qenc, corpus, entry[:, None])[:, 0]
+    beam_d = jnp.full((b, ef), INF).at[:, 0].set(entry_d)
+    beam_i = jnp.full((b, ef), NEG1).at[:, 0].set(entry)
+    expanded = jnp.zeros((b, ef), bool)
+    rows = jnp.arange(b)
+
+    def cond(state):
+        beam_d, beam_i, expanded, it, ndist = state
+        unexp_d = jnp.where(expanded | (beam_i < 0), INF, beam_d)
+        frontier_best = jnp.min(unexp_d, axis=1)
+        worst = beam_d[:, -1]
+        # classic HNSW stop rule, plus "frontier exhausted" cutoff
+        active = (frontier_best <= worst) & (frontier_best < INF)
+        return jnp.logical_and(jnp.any(active), it < max_iters)
+
+    def body(state):
+        beam_d, beam_i, expanded, it, ndist = state
+        # pick EXPAND closest unexpanded entries per query
+        unexp_d = jnp.where(expanded | (beam_i < 0), INF, beam_d)
+        neg, pos = jax.lax.top_k(-unexp_d, expand)  # [B, E] positions
+        parent_valid = neg > -INF
+        parents = jnp.where(parent_valid, jnp.take_along_axis(beam_i, pos, 1), NEG1)
+        expanded2 = expanded.at[rows[:, None], pos].set(True)
+
+        # gather adjacency rows of the parents
+        if slot_of is not None:
+            pslots = slot_of[jnp.clip(parents, 0, slot_of.shape[0] - 1)]
+            pslots = jnp.where(parents < 0, NEG1, pslots)
+        else:
+            pslots = parents
+        nbrs = adj[jnp.clip(pslots, 0, adj.shape[0] - 1)]  # [B, E, M]
+        nbrs = jnp.where(pslots[:, :, None] < 0, NEG1, nbrs).reshape(b, k_cand)
+
+        # dedup: against beam, and within the candidate block (keep first)
+        in_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+        eq = nbrs[:, :, None] == nbrs[:, None, :]
+        earlier = jnp.tril(jnp.ones((k_cand, k_cand), bool), k=-1)[None]
+        dup = jnp.any(eq & earlier, axis=2)
+        cand = jnp.where(in_beam | dup, NEG1, nbrs)
+
+        d = score_rows(space, qenc, corpus, cand)  # [B, K]
+        ndist = ndist + jnp.sum(cand >= 0)
+
+        # merge candidates into the beam: sort (dist, id, expanded) jointly
+        all_d = jnp.concatenate([beam_d, d], axis=1)
+        all_i = jnp.concatenate([beam_i, cand], axis=1)
+        all_e = jnp.concatenate([expanded2, jnp.zeros((b, k_cand), bool)], axis=1)
+        sd, si, se = jax.lax.sort((all_d, all_i, all_e.astype(jnp.int32)), num_keys=1)
+        return sd[:, :ef], si[:, :ef], se[:, :ef].astype(bool), it + 1, ndist
+
+    state = (beam_d, beam_i, expanded, jnp.int32(0), jnp.int32(0))
+    beam_d, beam_i, expanded, _, ndist = jax.lax.while_loop(cond, body, state)
+    return beam_d, beam_i, ndist
+
+
+# ---------------- neighbor-selection heuristic ----------------
+
+
+def select_neighbors_heuristic(
+    base_d: jax.Array,  # f32[B, C] candidate -> base distances (INF = invalid)
+    cand_pair_d: jax.Array,  # f32[B, C, C] candidate pairwise distances
+    m: int,
+    exact: bool = True,
+):
+    """HNSW neighbor-selection heuristic (delaunay_type=2, reference:
+    hnsw.h:129-168): scanning candidates in increasing base distance,
+    keep c iff d(c, base) < d(c, s) for every already-kept s; stop at m.
+
+    Vectorized over the batch; the candidate scan is a fori_loop whose
+    body is O(B*C) VPU work. ``exact=False`` uses the one-shot RNG-rule
+    relaxation (compare against all *closer* candidates instead of only
+    kept ones) — fully parallel, slightly stronger pruning.
+
+    Returns keep mask bool[B, C] with at most m True per row.
+    """
+    b, c = base_d.shape
+    order = jnp.argsort(base_d, axis=1)  # positions sorted by base dist
+    sorted_d = jnp.take_along_axis(base_d, order, 1)
+    # reorder pairwise distances into sorted candidate order
+    pair = jnp.take_along_axis(
+        jnp.take_along_axis(cand_pair_d, order[:, :, None], 1), order[:, None, :], 2
+    )
+
+    if not exact:
+        closer = sorted_d[:, None, :] < sorted_d[:, :, None]  # j closer than i
+        dominated = jnp.any(closer & (pair < sorted_d[:, :, None]), axis=2)
+        keep_sorted = (~dominated) & (sorted_d < INF)
+    else:
+        def body(i, keep):
+            # candidate i survives iff closer than base to every kept j < i
+            prior = keep & (jnp.arange(c) < i)[None, :]
+            pair_i = jax.lax.dynamic_index_in_dim(pair, i, 1, keepdims=False)  # [B, C]
+            d_i = jax.lax.dynamic_index_in_dim(sorted_d, i, 1, keepdims=True)  # [B, 1]
+            conflict = jnp.any(prior & (pair_i < d_i), axis=1)
+            kept_so_far = jnp.sum(prior, axis=1)
+            ok = (~conflict) & (d_i[:, 0] < INF) & (kept_so_far < m)
+            return keep.at[:, i].set(ok)
+
+        keep_sorted = jax.lax.fori_loop(0, c, body, jnp.zeros((b, c), bool))
+
+    # cap at m (relevant for the rng mode; exact mode already capped)
+    rank = jnp.cumsum(keep_sorted, axis=1)
+    keep_sorted = keep_sorted & (rank <= m)
+    # scatter back to original candidate positions
+    keep = jnp.zeros((b, c), bool).at[jnp.arange(b)[:, None], order].set(keep_sorted)
+    return keep
+
+
+def pack_selected(ids: jax.Array, keep: jax.Array, m: int):
+    """Compress kept candidate ids [B, C] into fixed rows [B, m] (-1 pad),
+    preserving ascending-distance order when ids are pre-sorted."""
+    b, c = ids.shape
+    key = jnp.where(keep, 0, 1) * jnp.int32(c) + jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    order = jnp.argsort(key, axis=1)
+    packed = jnp.take_along_axis(jnp.where(keep, ids, NEG1), order, 1)
+    return packed[:, :m]
