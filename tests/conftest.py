@@ -1,14 +1,27 @@
 """Test configuration: force an 8-device virtual CPU backend so multi-chip
 sharding paths run without TPU hardware (SURVEY.md §4 implication;
-analogous to the driver's dryrun_multichip check)."""
+analogous to the driver's dryrun_multichip check).
+
+NB: this environment pre-sets JAX_PLATFORMS=axon (the remote-TPU tunnel)
+and something downstream re-applies it, so overriding the env var alone
+is NOT enough — jax.config.update after import is what sticks.
+"""
 
 import os
 
 # Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests require the 8-device virtual CPU backend; got "
+    f"{jax.devices()}"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

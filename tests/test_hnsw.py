@@ -46,7 +46,9 @@ def test_hnsw_self_query(corpus):
     idx.set_query_time_params(Params(efSearch=50))
     res = idx.knn_query(x[17], k=1)
     assert res.ids[0] == 17
-    assert res.dists[0] < 1e-4
+    # the MXU norm-identity kernel leaves an O(sqrt(eps)*|x|) residue on
+    # self-distances; ordering is unaffected
+    assert res.dists[0] < 1e-2
 
 
 def test_hnsw_cosine(corpus):

@@ -1,0 +1,57 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh: corpus-sharded
+exact kNN must match the single-chip oracle exactly, and the sharded
+HNSW must reach single-graph recall (SURVEY.md §7 step 9)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_knn import Index, Params
+from tpu_knn.core.dataset import DataKind, DataStore
+from tpu_knn.core.registry import create_space
+from tpu_knn.parallel.hnsw_sharded import ShardedHnsw
+from tpu_knn.parallel.mesh import make_mesh
+from tpu_knn.parallel.sharded import sharded_exact_knn
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2048, 32)).astype(np.float32)
+    q = rng.standard_normal((32, 32)).astype(np.float32)
+    exact = Index("l2", Params(dim=32), method="seq_search")
+    exact.add_dense_batch(x)
+    gd, gi = exact.knn_query_batch(q, 10)
+    return x, q, gd, gi
+
+
+def test_mesh_has_8_devices():
+    assert make_mesh().devices.size == 8
+
+
+def test_sharded_exact_matches_single_chip(setup):
+    x, q, gd, gi = setup
+    mesh = make_mesh(8)
+    space = create_space("l2", Params(dim=32))
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    data = space.encode_dataset(store, row_multiple=8 * 8)
+    qenc = space.encode_queries(q)
+    d, i = sharded_exact_knn(space, qenc, data, 10, mesh)
+    np.testing.assert_array_equal(np.asarray(i), gi)
+    np.testing.assert_allclose(np.asarray(d), gd, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hnsw_recall(setup):
+    x, q, gd, gi = setup
+    mesh = make_mesh(8)
+    space = create_space("l2", Params(dim=32))
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    sh = ShardedHnsw(space, mesh, Params(M=8, efConstruction=40, waveSize=128))
+    sh.build(store)
+    sh.set_query_time_params(Params(efSearch=60))
+    d, i = sh.knn(q, 10)
+    rec = np.mean([len(set(gi[r]) & set(i[r])) / 10 for r in range(len(q))])
+    assert rec >= 0.9

@@ -1,0 +1,90 @@
+"""Multi-chip search: corpus sharded over a mesh, queries replicated,
+per-shard top-k merged over ICI (SURVEY.md §7 step 9).
+
+Two tiers:
+
+  * :func:`sharded_exact_knn` — the distributed seq_search / gold
+    standard. Each device scans its corpus shard with the streaming
+    top-k and the per-shard results are merged with one all_gather +
+    top-k (the log-tree merge is left to XLA's all_gather lowering).
+    This is the TPU-native version of the reference's thread-sharded
+    scan + merge (seqsearch.cc:73-98, 163-176).
+
+  * :class:`ShardedHnsw`-style stacked-subgraph search in
+    methods/hnsw_sharded.py builds one HNSW per shard and runs the
+    batched beam search on every shard in parallel, merging top-k the
+    same way.
+
+All functions take/return replicated query-major arrays; sharding is an
+internal layout decision, which is exactly how pjit wants it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import topk as T
+from .mesh import SHARD_AXIS
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _local_exact_knn(space, qenc, xc_local, ids_local, k: int, precision: str):
+    """Top-k over one local corpus block (already in VMEM-friendly form)."""
+    d = space.block(qenc, xc_local, precision)  # [Q, N_local]
+    dk, pos = T.smallest_k(d, k)
+    ids = jnp.where(pos >= 0, ids_local[jnp.clip(pos, 0, ids_local.shape[0] - 1)], -1)
+    ids = jnp.where(jnp.isinf(dk), -1, ids)
+    return dk, ids
+
+
+def sharded_exact_knn(
+    space,
+    qenc: dict,
+    data,
+    k: int,
+    mesh: Mesh,
+    precision: str = "float32",
+    axis: str = SHARD_AXIS,
+):
+    """Exact kNN with the corpus sharded across ``mesh``.
+
+    ``data`` is a DenseDeviceData whose row count is divisible by the
+    mesh size (encode with row_multiple = 8 * mesh.size). Returns
+    replicated (dists[Q,k], ids[Q,k])."""
+
+    def local(qenc_l, vecs, pad, term, ids_l):
+        # spaces that don't use a row term simply ignore the extra key
+        xc = {"x": vecs, "pad": pad, "x_term": term}
+        dk, ids = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
+        return merge_sharded_topk(dk, ids, k, axis)
+
+    term = data.row_term
+    term_arg = term if term is not None else jnp.zeros((data.ids.shape[0],), jnp.float32)
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), qenc),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(qenc, data.vecs, data.extra["pad"], term_arg, data.ids)
+
+
+def merge_sharded_topk(dists, ids, k: int, axis: str = SHARD_AXIS):
+    """Inside-shard_map helper: all_gather + re-top-k (ascending)."""
+    all_d = jax.lax.all_gather(dists, axis, axis=0)
+    all_i = jax.lax.all_gather(ids, axis, axis=0)
+    s, q, kk = all_d.shape
+    md = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
+    mi = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
+    return T.smallest_k(md, k, mi)
