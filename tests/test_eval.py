@@ -1,0 +1,107 @@
+"""Evaluation harness tests (reference LX layer: gold standard, metrics
+with the approx-can't-beat-exact invariant, experiments, meta analysis)."""
+
+import numpy as np
+import pytest
+
+from tpu_knn import DataKind, Index, Params
+from tpu_knn.core.dataset import DataStore
+from tpu_knn.core.registry import create_method, create_space
+from tpu_knn.eval import (
+    ExperimentConfig,
+    Experiments,
+    GoldStandard,
+    MetaAnalysis,
+    per_query_metrics,
+    run_full_experiment,
+    summarize,
+)
+
+
+def test_metrics_perfect_match():
+    ex_d = np.asarray([[0.0, 1.0, 2.0]])
+    ex_i = np.asarray([[5, 7, 9]])
+    m = per_query_metrics(ex_d, ex_i, ex_d.copy(), ex_i.copy())
+    assert m["recall"][0] == 1.0
+    assert m["recall@1"][0] == 1.0
+    assert m["number_closer"][0] == 0.0
+    assert m["precision_of_approx"][0] == pytest.approx(1.0)
+    assert m["log_rel_pos_error"][0] == pytest.approx(0.0)
+
+
+def test_metrics_degraded():
+    ex_d = np.asarray([[0.0, 1.0, 2.0]])
+    ex_i = np.asarray([[5, 7, 9]])
+    ap_d = np.asarray([[1.0, 2.0, 4.0]])  # missed the true NN
+    ap_i = np.asarray([[7, 9, 11]])
+    m = per_query_metrics(ex_d, ex_i, ap_d, ap_i)
+    assert m["recall"][0] == pytest.approx(2 / 3)
+    assert m["number_closer"][0] == 1.0
+    assert m["log_rel_pos_error"][0] > 0
+
+
+def test_invariant_violation_raises():
+    ex_d = np.asarray([[1.0, 2.0]])
+    ex_i = np.asarray([[5, 7]])
+    ap_d = np.asarray([[0.5, 2.0]])  # "better than exact" = caller bug
+    ap_i = np.asarray([[3, 7]])
+    with pytest.raises(AssertionError, match="approximate query should not"):
+        per_query_metrics(ex_d, ex_i, ap_d, ap_i)
+
+
+def test_gold_standard_cache(tmp_path, rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=8))
+    gs = GoldStandard(space, store)
+    d, ids = gs.compute_knn(x[:5], 3)
+    assert np.array_equal(ids[:, 0], np.arange(5))
+    p = str(tmp_path / "gs.npz")
+    gs.save_cache(p)
+    d2, i2 = GoldStandard.load_cache(p)
+    assert np.array_equal(ids, i2) and np.allclose(d, d2)
+
+
+def test_experiments_sweep(rng):
+    x = rng.standard_normal((150, 10)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=10))
+    method = create_method("hnsw", space, Params(M=8, efConstruction=40, waveSize=32))
+    method.create_index(store)
+    ex = Experiments(space, store, x[:20], k=5)
+    rows = ex.run(method, [Params(efSearch=5), Params(efSearch=80)])
+    assert len(rows) == 2
+    assert rows[1]["recall"] >= rows[0]["recall"]  # more ef -> better recall
+    for r in rows:
+        assert r["qps"] > 0 and r["improv_dist_comp"] > 0
+
+
+def test_run_full_experiment(rng):
+    x = rng.standard_normal((120, 8)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=8))
+    cfg = ExperimentConfig(test_set_qty=2, query_qty=15, seed=3)
+    aggs = run_full_experiment(
+        space,
+        store,
+        lambda sp: create_method("seq_search", sp, Params()),
+        cfg,
+        [None],
+        k=3,
+    )
+    assert len(aggs) == 1
+    agg = aggs[0]
+    assert agg["recall"]["mean"] == pytest.approx(1.0)  # exact scan
+    assert "ci95" in agg["recall"]
+
+
+def test_meta_analysis():
+    m = MetaAnalysis()
+    m.add({"recall": 0.9, "qps": 100.0})
+    m.add({"recall": 0.8, "qps": 200.0})
+    agg = m.aggregate()
+    assert agg["recall"]["mean"] == pytest.approx(0.85)
+    assert agg["qps"]["std"] > 0

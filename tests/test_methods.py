@@ -1,0 +1,174 @@
+"""VP-tree, NAPP, simple_invindx, dummy: correctness vs the exact scan
+(reference methods layer, SURVEY.md §2.2)."""
+
+import numpy as np
+import pytest
+
+from tpu_knn import DataKind, Index, Params
+from tpu_knn.core.errors import SpaceIncompatibleError
+
+
+def _dense(rng, n=200, d=12):
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+def _recall(approx_ids, exact_ids):
+    k = exact_ids.shape[1]
+    return np.mean(
+        [len(set(a[a >= 0]) & set(b)) / k for a, b in zip(approx_ids, exact_ids)]
+    )
+
+
+@pytest.fixture()
+def dense_pair(rng):
+    x = _dense(rng)
+    q = x[:25]
+    ex = Index("l2", Params(dim=12), method="seq_search")
+    ex.add_dense_batch(x)
+    ed, eids = ex.knn_query_batch(q, 5)
+    return x, q, ed, eids
+
+
+def test_vptree_exact_with_default_pruner(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20))
+    d, ids = idx.knn_query_batch(q, 5)
+    # alpha=1, exp=1 gives the true triangle inequality: results are exact
+    assert _recall(ids, eids) == 1.0
+    # gather-scored vs matmul-scored paths differ by f32 reduction order
+    assert np.allclose(np.where(np.isfinite(d), d, 0), np.where(np.isfinite(ed), ed, 0), atol=5e-3)
+
+
+def test_vptree_alpha_tradeoff(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20))
+    idx.set_query_time_params(Params(alphaLeft=1.0, alphaRight=1.0))
+    idx.knn_query_batch(q, 5)
+    dc_exact = idx.method.dist_comps
+    idx.method.dist_comps = 0
+    idx.set_query_time_params(Params(alphaLeft=64.0, alphaRight=64.0))
+    d, ids = idx.knn_query_batch(q, 5)
+    dc_pruned = idx.method.dist_comps
+    assert dc_pruned <= dc_exact  # stretching prunes more
+    assert _recall(ids, eids) >= 0.3  # but quality degrades gracefully
+
+
+def test_vptree_max_leaves(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20))
+    idx.set_query_time_params(Params(maxLeavesToVisit=1))
+    d, ids = idx.knn_query_batch(q, 5)
+    assert (ids >= -1).all()  # well-formed even under a harsh cap
+
+
+def test_vptree_range(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    res = idx.range_query(q[0], radius=float(ed[0, 3]))
+    assert set(eids[0, :3]).issubset(set(res.ids))
+    assert (res.dists <= ed[0, 3] + 1e-5).all()
+
+
+def test_vptree_autotune(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20, desiredRecall=0.95, tuneK=5, tuneQty=30))
+    assert idx.method.alpha_left >= 1.0
+    d, ids = idx.knn_query_batch(q, 5)
+    assert _recall(ids, eids) >= 0.9
+
+
+def test_napp(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="napp")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(numPivot=32, numPrefix=8))
+    idx.set_query_time_params(Params(numPrefixSearch=8, minTimes=2))
+    d, ids = idx.knn_query_batch(q, 5)
+    assert _recall(ids, eids) >= 0.8
+    # harsher filtering scans fewer candidates
+    dc_loose = idx.method.dist_comps
+    idx.method.dist_comps = 0
+    idx.set_query_time_params(Params(minTimes=4))
+    idx.knn_query_batch(q, 5)
+    assert idx.method.dist_comps <= dc_loose
+
+
+def test_napp_skip_checking(dense_pair):
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="napp")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(numPivot=32, numPrefix=8))
+    idx.set_query_time_params(Params(minTimes=2, skipChecking=True))
+    d, ids = idx.knn_query_batch(q, 5)
+    assert (ids[:, 0] >= 0).all()  # candidates returned without re-ranking
+
+
+def test_simple_invindx(rng):
+    # sparse corpus; works only with negdotprod_sparse_fast
+    def mk(n):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(2, 10))
+            ids = np.sort(rng.choice(np.arange(1, 60), size=nnz, replace=False))
+            out.append((ids, rng.random(nnz).astype(np.float32)))
+        return out
+
+    xs, qs = mk(50), mk(8)
+    idx = Index("negdotprod_sparse_fast", method="simple_invindx", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(xs)
+    d, ids = idx.knn_query_batch(qs, 5)
+    ex = Index("negdotprod_sparse_fast", method="seq_search", data_type=DataKind.SPARSE)
+    ex.add_sparse_batch(xs)
+    ed, eids = ex.knn_query_batch(qs, 5)
+    # DAAT == exact scan on dot products (where results are real overlaps)
+    both = (ids >= 0) & (eids >= 0)
+    assert np.allclose(d[both], ed[both], atol=1e-5)
+    # wrong space is rejected when the method is created (at build time,
+    # mirroring the reference's constructor check via nmslib_create_index)
+    bad = Index("cosinesimil_sparse", method="simple_invindx", data_type=DataKind.SPARSE)
+    bad.add_sparse_batch(xs)
+    with pytest.raises(SpaceIncompatibleError):
+        bad.build_index()
+    with pytest.raises(SpaceIncompatibleError):
+        idx.range_query(qs[0], 1.0)
+
+
+def test_dummy_method(rng):
+    x = _dense(rng, 30)
+    idx = Index("l2", Params(dim=12), method="dummy")
+    idx.add_dense_batch(x)
+    d, ids = idx.knn_query_batch(x[:3], 2)
+    assert (ids == -1).all()  # no-op variant returns nothing
+    idx2 = Index("l2", Params(dim=12), method="dummy")
+    idx2.add_dense_batch(x)
+    idx2.build_index(Params(doSeqSearch=True))
+    d2, ids2 = idx2.knn_query_batch(x[:3], 2)
+    assert (ids2[:, 0] == np.arange(3)).all()
+
+
+def test_methods_persistence_roundtrip(tmp_path, dense_pair):
+    x, q, ed, eids = dense_pair
+    for method, bp in [
+        ("vptree", Params(bucketSize=20)),
+        ("napp", Params(numPivot=16, numPrefix=4)),
+        ("sw-graph", Params(NN=6)),
+    ]:
+        idx = Index("l2", Params(dim=12), method=method)
+        idx.add_dense_batch(x)
+        idx.build_index(bp)
+        d1, i1 = idx.knn_query_batch(q, 5)
+        p = str(tmp_path / method)
+        idx.save(p)
+        idx2 = Index.load(p)
+        d2, i2 = idx2.knn_query_batch(q, 5)
+        assert np.array_equal(i1, i2), method
+        assert np.allclose(d1, d2, atol=1e-5), method

@@ -1,0 +1,155 @@
+"""Sparse space kernels vs a pure-python oracle, plus end-to-end sparse
+workflows (acceptance analog of the reference sparse tests,
+lib.zig:1315-1349)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tpu_knn import DataKind, Index, Params, SparsePoint
+from tpu_knn.core.dataset import DataStore
+from tpu_knn.core.errors import InvalidSparseElementError
+from tpu_knn.core.registry import create_space
+
+
+def _rand_sparse(rng, n, universe=200, max_nnz=24):
+    pts = []
+    for _ in range(n):
+        nnz = int(rng.integers(1, max_nnz))
+        ids = np.sort(rng.choice(np.arange(1, universe + 1), size=nnz, replace=False))
+        vals = rng.standard_normal(nnz).astype(np.float32)
+        pts.append((ids.astype(np.int32), vals))
+    return pts
+
+
+def _to_dict(p):
+    ids, vals = (p.ids, p.values) if isinstance(p, SparsePoint) else p
+    return dict(zip([int(i) for i in ids], [float(v) for v in vals]))
+
+
+def _oracle(space_name, q, x, p_param=2.0):
+    dq, dx = _to_dict(q), _to_dict(x)
+    keys = set(dq) | set(dx)
+    dot = sum(dq.get(k, 0.0) * dx.get(k, 0.0) for k in keys)
+    nq = math.sqrt(sum(v * v for v in dq.values()))
+    nx = math.sqrt(sum(v * v for v in dx.values()))
+    if space_name.startswith("cosinesimil_sparse"):
+        return max(0.0, 1.0 - dot / max(nq * nx, 1e-10))
+    if space_name.startswith("angulardist_sparse"):
+        return math.acos(max(-1.0, min(1.0, dot / max(nq * nx, 1e-10))))
+    if space_name.startswith("querynorm_negdotprod"):
+        return -dot / max(nq, 1e-10)
+    if space_name.startswith("negdotprod_sparse"):
+        return -dot
+    if space_name == "sparse_jaccard":
+        inter = len(set(dq) & set(dx))
+        union = len(set(dq) | set(dx))
+        return 1.0 - inter / union if union else 0.0
+    if space_name == "linf_sparse":
+        return max(abs(dq.get(k, 0.0) - dx.get(k, 0.0)) for k in keys)
+    p = {"l1_sparse": 1.0, "l2_sparse": 2.0, "lp_sparse": p_param}[space_name]
+    s = sum(abs(dq.get(k, 0.0) - dx.get(k, 0.0)) ** p for k in keys)
+    return s if p == 1.0 else s ** (1.0 / p)
+
+
+ALL_SPARSE = [
+    "cosinesimil_sparse",
+    "cosinesimil_sparse_fast",
+    "angulardist_sparse",
+    "negdotprod_sparse",
+    "querynorm_negdotprod_sparse",
+    "l1_sparse",
+    "l2_sparse",
+    "linf_sparse",
+    "lp_sparse",
+    "sparse_jaccard",
+]
+
+
+@pytest.mark.parametrize("space_name", ALL_SPARSE)
+def test_sparse_block_matches_oracle(rng, space_name):
+    params = Params(p=2.5) if space_name == "lp_sparse" else None
+    space = create_space(space_name, params)
+    qs = _rand_sparse(rng, 5)
+    xs = _rand_sparse(rng, 7)
+    store = DataStore(DataKind.SPARSE)
+    store.add_sparse_batch(xs)
+    data = space.encode_dataset(store)
+    qenc = space.encode_queries(qs)
+    d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
+    for i, q in enumerate(qs):
+        for j, x in enumerate(xs):
+            want = _oracle(space_name, q, x, 2.5)
+            assert d[i, j] == pytest.approx(want, rel=2e-4, abs=2e-5), (
+                f"{space_name} mismatch at ({i},{j})"
+            )
+
+
+def test_binary_variants(rng):
+    """*_bin_fast force presence-only values (space_sparse_bin_common.h)."""
+    qs = _rand_sparse(rng, 3)
+    xs = _rand_sparse(rng, 4)
+    binq = [(i, np.ones_like(v)) for i, v in qs]
+    binx = [(i, np.ones_like(v)) for i, v in xs]
+    for name in ("cosinesimil_sparse_bin_fast", "negdotprod_sparse_bin_fast"):
+        space = create_space(name)
+        store = DataStore(DataKind.SPARSE)
+        store.add_sparse_batch(xs)
+        data = space.encode_dataset(store)
+        qenc = space.encode_queries(qs)
+        d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
+        base = name.replace("_bin_fast", "")
+        for i, q in enumerate(binq):
+            for j, x in enumerate(binx):
+                want = _oracle(base, q, x)
+                assert d[i, j] == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+def test_sparse_validation():
+    store = DataStore(DataKind.SPARSE)
+    with pytest.raises(InvalidSparseElementError):
+        store.add_sparse_batch([(np.asarray([0, 2]), np.asarray([1.0, 2.0]))])
+    with pytest.raises(InvalidSparseElementError):
+        store.add_sparse_batch([(np.asarray([3, 2]), np.asarray([1.0, 2.0]))])
+    with pytest.raises(InvalidSparseElementError):
+        store.add_sparse_batch([(np.asarray([2, 2]), np.asarray([1.0, 2.0]))])
+
+
+def test_sparse_seq_search_end_to_end(rng):
+    xs = _rand_sparse(rng, 40)
+    qs = _rand_sparse(rng, 6)
+    idx = Index("cosinesimil_sparse", method="seq_search", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(xs)
+    d, ids = idx.knn_query_batch(qs, 5)
+    # oracle
+    for i, q in enumerate(qs):
+        want = sorted(
+            (( _oracle("cosinesimil_sparse", q, x), j + 1) for j, x in enumerate(xs)),
+        )[:5]
+        got = list(zip(d[i], ids[i]))
+        for (wd, wi), (gd, gi) in zip(want, got):
+            assert gd == pytest.approx(wd, rel=2e-4, abs=2e-5)
+    # default sparse ids are 1-based (reference: lib.zig:748)
+    assert ids.min() >= 1
+
+
+def test_sparse_hnsw_end_to_end(rng):
+    xs = _rand_sparse(rng, 60)
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(xs)
+    idx.build_index(Params(M=8, efConstruction=40, waveSize=16))
+    idx.set_query_time_params(Params(efSearch=60))
+    # self-query: every point should find itself at distance ~0
+    d, ids = idx.knn_query_batch(xs[:10], 1)
+    assert np.all(ids[:, 0] == np.arange(1, 11))
+    assert np.allclose(d[:, 0], 0.0, atol=1e-5)
+
+
+def test_sparse_borrow_roundtrip(rng):
+    xs = _rand_sparse(rng, 5)
+    idx = Index("cosinesimil_sparse", method="seq_search", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(xs)
+    p = idx.borrow_data_sparse(2)
+    assert np.array_equal(p.ids, xs[2][0])
+    assert np.allclose(p.values, xs[2][1])

@@ -1,0 +1,135 @@
+"""Levenshtein / normleven / bit / word_embed / fusion space tests."""
+
+import numpy as np
+import pytest
+
+from tpu_knn import DataKind, DistKind, Index, Params
+from tpu_knn.core.dataset import DataStore
+from tpu_knn.core.registry import create_space
+
+
+def py_leven(a: bytes, b: bytes) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(la + 1))
+    for i in range(1, lb + 1):
+        cur = [i] + [0] * la
+        for j in range(1, la + 1):
+            cost = 0 if a[j - 1] == b[i - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[la]
+
+
+WORDS = [b"kitten", b"sitting", b"", b"a", b"abcdefghij", b"abcdefhgij", b"banana", b"bananas"]
+
+
+def test_levenshtein_kernel_matches_python(rng):
+    space = create_space("leven")
+    store = DataStore(DataKind.STRING)
+    store.add_string_batch(WORDS)
+    data = space.encode_dataset(store)
+    qs = [b"kitten", b"siting", b"xyz", b""]
+    qenc = space.encode_queries(qs)
+    d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
+    for i, q in enumerate(qs):
+        for j, x in enumerate(WORDS):
+            assert int(d[i, j]) == py_leven(q, x), (q, x)
+
+
+def test_normleven_matches_python(rng):
+    space = create_space("normleven")
+    store = DataStore(DataKind.STRING)
+    store.add_string_batch(WORDS)
+    data = space.encode_dataset(store)
+    qs = [b"kitten", b""]
+    qenc = space.encode_queries(qs)
+    d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
+    for i, q in enumerate(qs):
+        for j, x in enumerate(WORDS):
+            m = max(len(q), len(x))
+            want = py_leven(q, x) / m if m else 0.0
+            assert d[i, j] == pytest.approx(want, abs=1e-6)
+
+
+def test_leven_index_end_to_end():
+    idx = Index("leven", method="seq_search", data_type=DataKind.STRING, dist_type=DistKind.INT)
+    idx.add_string_batch([b"hello", b"hallo", b"help", b"world"])
+    res = idx.knn_query("hello", 2)
+    assert list(res.ids[:1]) == [0]
+    assert res.dists[0] == 0
+    assert res.dists[1] == 1  # hallo
+    assert idx.get_distance(0, 1) == 1
+
+
+def test_bit_hamming(rng):
+    n, d = 20, 64
+    x = (rng.random((n, d)) > 0.5).astype(np.uint8)
+    idx = Index("bit_hamming", method="seq_search", data_type=DataKind.UINT8, dist_type=DistKind.INT)
+    idx.add_uint8_batch(x)
+    q = x[3]
+    res = idx.knn_query(q, 3)
+    assert res.ids[0] == 3 and res.dists[0] == 0
+    want = int(np.sum(x[3] != x[res.ids[1]]))
+    assert int(res.dists[1]) == want
+
+
+def test_bit_jaccard(rng):
+    n, d = 16, 32
+    x = (rng.random((n, d)) > 0.5).astype(np.uint8)
+    idx = Index("bit_jaccard", method="seq_search", data_type=DataKind.UINT8, dist_type=DistKind.FLOAT)
+    idx.add_uint8_batch(x)
+    d_01 = idx.get_distance(0, 1)
+    inter = int(np.sum((x[0] & x[1])))
+    union = int(np.sum((x[0] | x[1])))
+    assert d_01 == pytest.approx(1 - inter / union, abs=1e-6)
+
+
+def test_word_embed(tmp_path, rng):
+    vecs = {f"w{i}": rng.standard_normal(8).astype(np.float32) for i in range(10)}
+    f = tmp_path / "emb.txt"
+    f.write_text("\n".join(f"{w} " + " ".join(f"{v:.6f}" for v in vec) for w, vec in vecs.items()))
+    idx = Index(
+        "word_embed",
+        Params(dist="l2", file=str(f)),
+        method="seq_search",
+        data_type=DataKind.STRING,
+    )
+    idx.add_string_batch(list(vecs.keys()))
+    res = idx.knn_query("w3", 2)
+    assert res.ids[0] == 3
+    # norm-identity f32 noise after sqrt is ~1e-3
+    assert res.dists[0] == pytest.approx(0.0, abs=5e-3)
+    # bad dist param rejected
+    with pytest.raises(Exception):
+        Index("word_embed", Params(dist="cityblock"), method="seq_search", data_type=DataKind.STRING)
+
+
+def test_sparse_dense_fusion(rng):
+    import json
+
+    def obj(dense, ids, vals):
+        return json.dumps({"dense": [list(map(float, dense))], "sparse": [[list(map(int, ids)), list(map(float, vals))]]})
+
+    xs = [
+        obj([1.0, 0.0], [1, 3], [1.0, 2.0]),
+        obj([0.0, 1.0], [2, 3], [3.0, 1.0]),
+        obj([0.5, 0.5], [1, 2], [1.0, 1.0]),
+    ]
+    idx = Index(
+        "sparse_dense_fusion",
+        Params(indexWeights="1.0,1.0", queryWeights="0.5,2.0"),
+        method="seq_search",
+        data_type=DataKind.STRING,
+    )
+    idx.add_string_batch(xs)
+    q = obj([1.0, 1.0], [3], [1.0])
+    d, ids = idx.knn_query_batch([q], 3)
+    # manual: -(0.5*dense_dot + 2.0*sparse_dot)
+    dots = [
+        -(0.5 * 1.0 + 2.0 * 2.0),
+        -(0.5 * 1.0 + 2.0 * 1.0),
+        -(0.5 * 1.0 + 2.0 * 0.0),
+    ]
+    order = np.argsort(dots)
+    assert list(ids[0]) == list(order)
+    assert np.allclose(sorted(dots), d[0], atol=1e-5)

@@ -103,29 +103,51 @@ class Index:
         s = self.space_name
         if s == "leven" and self.dist_type is not DistKind.INT:
             raise InvalidArgumentError("leven requires Int distance type")
-        if (s.startswith("l2") or s.startswith("cosine")) and not self.space_params.has("dim"):
+        if (
+            (s.startswith("l2") or s.startswith("cosine"))
+            and "sparse" not in s
+            and s != "l2sqr_sift"  # fixed 128-byte SIFT layout needs no dim
+            and not self.space_params.has("dim")
+        ):
             raise InvalidArgumentError(f"space {s!r} requires a 'dim' space parameter")
-        if self.data_type is DataKind.UINT8 and self.dist_type is not DistKind.INT:
+        if (
+            self.data_type is DataKind.UINT8
+            and self.dist_type is not DistKind.INT
+            and not s.startswith("bit_")
+        ):
+            # bit_jaccard is registered for float dist in the reference
+            # (init_spaces.h) despite the uint8 data kind.
             raise InvalidArgumentError("dense uint8 vectors require Int distance type")
 
     # ---------------- insertion (deferred; lib.zig:625-681) ----------------
 
     def add_dense_batch(self, vectors: Any, ids: Sequence[int] | None = None) -> None:
         self._check_dim(np.asarray(vectors))
+        old = len(self.store)
         self.store.add_dense_batch(vectors, ids)
-        self._mark_dirty()
+        self._mark_dirty(old)
 
     def add_sparse_batch(self, points, ids: Sequence[int] | None = None) -> None:
+        old = len(self.store)
         self.store.add_sparse_batch(points, ids)
-        self._mark_dirty()
+        self._mark_dirty(old)
 
     def add_uint8_batch(self, vectors: Any, ids: Sequence[int] | None = None) -> None:
+        old = len(self.store)
         self.store.add_uint8_batch(vectors, ids)
-        self._mark_dirty()
+        self._mark_dirty(old)
 
     def add_string_batch(self, strings: Sequence[str | bytes], ids: Sequence[int] | None = None) -> None:
+        old = len(self.store)
         self.store.add_string_batch(strings, ids)
-        self._mark_dirty()
+        self._mark_dirty(old)
+
+    def delete_batch(self, positions: Sequence[int], strategy: str = "none") -> None:
+        """Incremental deletion by store position; supported only by
+        methods with incremental maintenance (reference: only sw-graph,
+        small_world_rand.cc DeleteBatch)."""
+        self._ensure_built()
+        self.method.delete_batch(positions, strategy)
 
     def _check_dim(self, arr: np.ndarray) -> None:
         want = self.space_params.get("dim")
@@ -134,10 +156,19 @@ class Index:
             if int(want) != d:
                 raise InvalidArgumentError(f"dim param is {want} but batch has dim {d}")
 
-    def _mark_dirty(self) -> None:
-        # Data added after a build invalidates the device index; next query
-        # auto-rebuilds (the reference forbids post-build mutation instead,
-        # index.h:35 DATA_MUTATION_ERROR_MSG — rebuilding is the fix).
+    def _mark_dirty(self, old_count: int) -> None:
+        # Methods with incremental maintenance (sw-graph) absorb post-build
+        # additions in place (reference: AddBatch, small_world_rand.cc:141);
+        # for everything else added data invalidates the device index and the
+        # next query auto-rebuilds (the reference forbids post-build mutation
+        # instead, index.h:35 DATA_MUTATION_ERROR_MSG — rebuilding is the fix).
+        if (
+            self.built
+            and self.method is not None
+            and self.method.supports_incremental
+        ):
+            self.method.add_batch(self.store, range(old_count, len(self.store)))
+            return
         self.built = False
 
     # ---------------- build ----------------

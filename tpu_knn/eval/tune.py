@@ -1,0 +1,68 @@
+"""Auto-tuning (reference: include/tune.h GetOptimalAlphas,
+src/searchoracle.cc PolynomialPruner::SetIndexTimeParams tuning path).
+
+The reference runs a recursive grid/step search over the VP-tree
+pruner's alphaLeft/alphaRight to hit a desired recall with maximal
+pruning. Here the same goal is met with a geometric sweep: sample
+queries from the indexed data, compute the gold standard once, then walk
+alpha upward (more pruning) while recall stays above the target, and
+return the last passing setting."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.dataset import DataStore
+from ..core.params import Params
+from ..utils.logging import log
+from ..utils.rng import np_rng
+from .gold_standard import GoldStandard
+from .metrics import per_query_metrics
+
+
+def tune_vptree_alphas(
+    method,
+    store: DataStore,
+    k: int = 10,
+    desired_recall: float = 0.9,
+    sample: int = 200,
+    alpha_grid: list[float] | None = None,
+) -> dict:
+    """Pick (alphaLeft, alphaRight) maximizing pruning subject to
+    recall >= desired_recall on sampled self-queries."""
+    from ..eval.experiments import _query_points
+
+    n = len(store)
+    rng = np_rng(1234)
+    q_pos = rng.choice(n, size=min(sample, n), replace=False)
+    queries = _query_points(store, q_pos)
+
+    gold = GoldStandard(method.space, store)
+    ex_d, ex_ids = gold.compute_knn(queries, k)
+
+    if alpha_grid is None:
+        alpha_grid = [2.0**i for i in range(0, 16)]
+
+    best = {"alphaLeft": 1.0, "alphaRight": 1.0, "recall": 1.0, "dist_comps": None}
+    old_l, old_r, old_ml = method.alpha_left, method.alpha_right, method.max_leaves
+    try:
+        for a in alpha_grid:
+            method.alpha_left = a
+            method.alpha_right = a
+            method.dist_comps = 0
+            ad, aids = method.knn(queries, k)
+            m = per_query_metrics(ex_d, ex_ids, ad, aids, check_invariant=False)
+            rec = float(np.mean(m["recall"]))
+            if rec >= desired_recall:
+                best = {
+                    "alphaLeft": a,
+                    "alphaRight": a,
+                    "recall": rec,
+                    "dist_comps": method.dist_comps,
+                }
+            else:
+                break
+    finally:
+        method.alpha_left, method.alpha_right, method.max_leaves = old_l, old_r, old_ml
+    log("INFO", f"tune_vptree_alphas -> {best}")
+    return best

@@ -50,11 +50,10 @@ from .base import Method
 NEG1 = jnp.int32(-1)
 
 
-def _corpus_dict(data) -> dict:
-    c = {"vecs": data.vecs, "pad": data.extra["pad"]}
-    if data.row_term is not None:
-        c["term"] = data.row_term
-    return c
+def _corpus_dict(space, data) -> dict:
+    """Row-indexed corpus arrays for gather-based search (delegates to the
+    space so sparse/string layouts provide their own keys)."""
+    return space.corpus_dict(data)
 
 
 def _gather_qenc(qenc_all: dict, ids, n_total: int):
@@ -80,6 +79,9 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
     extra = {}
     if corpus.get("term") is not None:
         extra["x_term"] = corpus["term"][safe_b]
+    for key, arr in corpus.items():
+        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
+            extra[key] = arr[safe_b]
 
     qe = _gather_qenc(qenc_all, jnp.clip(ids_a, 0, n_total - 1), n_total)
 
@@ -100,10 +102,10 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
 
 
 @partial(jax.jit, static_argnames=("space", "ef", "k", "expand"))
-def _hnsw_search(space, qenc, data, level0, upper, ef: int, k: int, expand: int):
-    corpus = _corpus_dict(data)
+def _hnsw_search(space, qenc, data, level0, upper, entry, ef: int, k: int, expand: int):
+    corpus = _corpus_dict(space, data)
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
-    cur = jnp.zeros(b, jnp.int32)
+    cur = jnp.full(b, entry, jnp.int32)
     cur_d = G.score_rows(space, qenc, corpus, cur[:, None])[:, 0]
     for adj in reversed(upper):
         cur, cur_d = G.greedy_descent(space, qenc, corpus, adj, None, cur, cur_d)
@@ -139,6 +141,7 @@ class Hnsw(Method):
         pm.check_unused()
         # query-time defaults (reference: ef/efSearch default 20, hnsw.cc:483)
         self.ef_search = 20
+        self._entry = 0  # global entry point (internal id; updated on delete)
         self.graph = None
         self._upper: list = []
         self.levels = None
@@ -157,70 +160,93 @@ class Hnsw(Method):
 
     # ---------------- construction ----------------
 
+    def _sample_levels(self, n: int, rng) -> np.ndarray:
+        """Geometric level sampling (reference: hnsw.h:478-483)."""
+        u = rng.random(max(n, 1))
+        return np.minimum(
+            np.floor(-np.log(np.maximum(u, 1e-12)) * self.mult), 32
+        ).astype(np.int32)[:n]
+
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
         self.store = store
         n = len(store)
         rng = np_rng(self.seed)
-        # geometric level sampling (reference: hnsw.h:478-483)
-        u = rng.random(max(n, 1))
-        levels = np.minimum(
-            np.floor(-np.log(np.maximum(u, 1e-12)) * self.mult), 32
-        ).astype(np.int32)[:n]
+        levels = self._sample_levels(n, rng)
         order = np.argsort(-levels, kind="stable")
         self.order = order
         self.levels = levels[order]
+        self._encode_store(store, n)
+        if n == 0:
+            return
+        max_level = int(self.levels.max(initial=0))
+        self._max_level = max_level
+        n_pad = self.data.ids.shape[0]
+        self.graph = {"level0": jnp.full((n_pad, self.maxM0), NEG1)}
+        self._upper = [
+            jnp.full((max(int(np.sum(self.levels >= l)), 1), self.maxM), NEG1)
+            for l in range(1, max_level + 1)
+        ]
+        self._run_waves(0, n)
+        log("DEBUG", f"{self.name} built: n={n} max_level={max_level}")
+
+    def _encode_store(self, store: DataStore, n: int) -> None:
+        """Encode + level-sorted reorder of the corpus, and all corpus
+        points as query encodings (used to score point-point pairs
+        during construction)."""
         self.data = self.space.encode_dataset(store, row_multiple=8)
         n_pad = self.data.ids.shape[0]
         if n == 0:
             self.graph = {"level0": jnp.full((n_pad, self.maxM0), NEG1)}
             self._upper = []
             return
-        self.data = self._reorder_data(self.data, order, n)
-        self._qenc_all = self.space.encode_queries(self._raw_matrix(store)[order])
+        self.data = self._reorder_data(self.data, self.order, n)
+        self._qenc_all = self.space.encode_queries(
+            self.space.store_as_query_points(store)[self.order]
+        )
         # row count of the per-node query encodings (unpadded)
         self._n_total = n
 
-        max_level = int(self.levels.max(initial=0))
-        level0 = jnp.full((n_pad, self.maxM0), NEG1)
-        upper = [
-            jnp.full((max(int(np.sum(self.levels >= l)), 1), self.maxM), NEG1)
-            for l in range(1, max_level + 1)
-        ]
-
+    def _run_waves(self, lo: int, hi: int) -> None:
+        """Insert points [lo, hi) in batched waves against the frozen
+        prefix graph (the wave step only links to ids < wave start)."""
+        n = hi - lo
+        if n <= 0:
+            return
         w = int(min(self.wave, n))
         num_waves = (n + w - 1) // w
-        step = self._make_wave_step(w, max_level)
-        wl_all = np.concatenate([self.levels, np.full(num_waves * w - n, -1, np.int32)])
+        step = self._make_wave_step(w, self._max_level)
+        total = lo + num_waves * w
+        wl_all = np.full(total, -1, np.int32)
+        wl_all[: len(self.levels)] = self.levels
+        level0, upper = self.graph["level0"], self._upper
         for wi in range(num_waves):
-            start = wi * w
+            start = lo + wi * w
             level0, upper = step(
-                level0, upper, jnp.int32(start), jnp.asarray(wl_all[start : start + w])
+                level0,
+                upper,
+                jnp.int32(start),
+                jnp.asarray(wl_all[start : start + w]),
+                jnp.int32(self._entry),
             )
         self.graph = {"level0": level0}
         self._upper = upper
-        log("DEBUG", f"hnsw built: n={n} max_level={max_level} waves={num_waves}")
-
-    def _raw_matrix(self, store: DataStore) -> np.ndarray:
-        return store.dense_matrix()
 
     def _reorder_data(self, data, order, n):
-        perm = np.concatenate([order, np.arange(n, data.ids.shape[0])]).astype(np.int32)
+        n_pad = data.ids.shape[0]
+        perm = np.concatenate([order, np.arange(n, n_pad)]).astype(np.int32)
         p = jnp.asarray(perm)
-        data.vecs = data.vecs[p]
-        data.ids = data.ids[p]
-        if data.row_term is not None:
-            data.row_term = data.row_term[p]
-        data.extra = {
-            k: (v[p] if hasattr(v, "ndim") and v.ndim >= 1 else v)
-            for k, v in data.extra.items()
-        }
-        return data
+        return jax.tree_util.tree_map(
+            lambda a: a[p]
+            if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_pad
+            else a,
+            data,
+        )
 
     # ----- the batched insertion wave -----
 
     def _make_wave_step(self, w: int, max_level: int):
         space = self.space
-        corpus = _corpus_dict(self.data)
+        corpus = _corpus_dict(space, self.data)
         qenc_all = self._qenc_all
         n_total = self._n_total
         efc, m, m0cap, mcap = self.ef_construction, self.M, self.maxM0, self.maxM
@@ -329,10 +355,10 @@ class Hnsw(Method):
             tgt = jnp.where(grp_valid, base, oob)
             return adj.at[tgt].set(newrow, mode="drop")
 
-        def wave_step(level0, upper, start, wl):
+        def wave_step(level0, upper, start, wl, entry):
             wave_ids = start + jnp.arange(w, dtype=jnp.int32)
             qe = _gather_qenc(qenc_all, wave_ids, n_total)
-            cur = jnp.zeros(w, jnp.int32)  # global entry = internal id 0
+            cur = jnp.full(w, entry, jnp.int32)  # global entry point
             cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
             new_upper = list(upper)
             for l in range(max_level, 0, -1):
@@ -362,7 +388,7 @@ class Hnsw(Method):
         ef = max(self.ef_search, k)
         d, ids, nd = _hnsw_search(
             self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
-            ef, k, self.expand,
+            jnp.int32(self._entry), ef, k, self.expand,
         )
         self.dist_comps += int(nd)
         return self._finalize_knn(d, ids)
@@ -377,7 +403,9 @@ class Hnsw(Method):
             "level0": np.asarray(self.graph["level0"]),
             "levels": np.asarray(self.levels),
             "order": np.asarray(self.order),
-            "meta": np.asarray([self.M, self.maxM, self.maxM0, self.ef_construction]),
+            "meta": np.asarray(
+                [self.M, self.maxM, self.maxM0, self.ef_construction, self._entry]
+            ),
         }
         for i, u in enumerate(self._upper):
             out[f"upper_{i}"] = np.asarray(u)
@@ -390,9 +418,11 @@ class Hnsw(Method):
         self.store = store
         self.levels = np.asarray(state["levels"])
         self.order = np.asarray(state["order"])
+        meta = np.asarray(state["meta"])
+        self._entry = int(meta[4]) if meta.shape[0] > 4 else 0
         n = len(store)
-        self.data = self.space.encode_dataset(store, row_multiple=8)
-        self.data = self._reorder_data(self.data, self.order, n)
+        self._encode_store(store, n)
+        self._max_level = int(self.levels.max(initial=0)) if n else 0
         self.graph = {"level0": jnp.asarray(state["level0"])}
         ups = sorted(
             (k for k in state if k.startswith("upper_")),

@@ -84,7 +84,8 @@ class SeqSearch(Method):
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
         self.store = store
         n = max(len(store), 1)
-        chunk = self.chunk or min(self.DEFAULT_CHUNK, round_up(n, 8))
+        default = getattr(self.space, "preferred_chunk", self.DEFAULT_CHUNK)
+        chunk = self.chunk or min(default, round_up(n, 8))
         chunk = round_up(chunk, 8)
         self.data = self.space.encode_dataset(store, row_multiple=chunk)
         self._chunk = chunk

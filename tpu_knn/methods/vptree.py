@@ -1,0 +1,422 @@
+"""VP-tree with the learned "stretched triangle inequality" pruner
+(reference: include/method/vptree.h, src/method/vptree.cc,
+include/searchoracle.h PolynomialPruner).
+
+TPU redesign (SURVEY.md §7): the recursive build becomes *level-
+synchronous* — at each depth every node picks a random pivot and all
+pivot->subset distances at that depth are computed in one blocked
+call; the median split then yields a perfectly balanced implicit
+binary tree over a corpus permutation, so leaves are contiguous
+slices.
+
+Search replaces the recursive branch-and-bound with three batched
+phases:
+  1. one [Q, n_internal] block for all query->pivot distances,
+  2. greedy descent to each query's home leaf -> scan it -> initial
+     radius r (the kth best),
+  3. level-by-level visit masks with the exact pruner rule
+     (searchoracle.h:163-186: visit ONLY left if dq <= M and
+     r < alphaLeft*(M-dq)^expLeft, ONLY right in the mirrored case,
+     both otherwise), then one masked distance pass over the union of
+     visited leaves.
+
+Because phase 3 prunes with the phase-2 radius (>= the reference's
+evolving radius), the visited set is a superset of the reference's:
+recall can only match or exceed it at equal parameters.
+``maxLeavesToVisit`` caps visited leaves per query in left-to-right
+order, mirroring the reference's traversal-order cap (vptree.cc:417).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataset import DataStore
+from ..core.errors import IndexNotBuiltError
+from ..core.params import ParamManager, Params
+from ..core.registry import register_method
+from ..ops import topk as T
+from ..ops.topk import INF
+from ..utils.logging import log
+from ..utils.rng import np_rng
+from .base import Method
+
+
+@partial(jax.jit, static_argnames=("space", "depth", "leaf_cap", "k", "max_leaves", "chunk"))
+def _vptree_knn(
+    space,
+    qenc,
+    data,
+    pivot_pos,  # i32[n_internal] corpus row of each internal node (heap order, 1-based)
+    medians,  # f32[n_internal]
+    leaf_members,  # i32[n_leaves, leaf_cap] corpus rows (-1 pad)
+    leaf_of,  # i32[n_pad] corpus row -> leaf id (-1 for pivots/padding)
+    leaf_count,  # i32[n_leaves]
+    pruner,  # f32[4]: alphaL, expL, alphaR, expR
+    depth: int,
+    leaf_cap: int,
+    k: int,
+    max_leaves: int,
+    chunk: int,
+):
+    n_internal = pivot_pos.shape[0]
+    n_leaves = leaf_members.shape[0]
+    n_pad = data.ids.shape[0]
+    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+
+    # phase 1: all query->pivot distances in one masked gather-block
+    xc = _gather_xc(space, data, pivot_pos)
+    dpiv = space.block(qenc, xc)  # [Q, n_internal]
+    ndist = jnp.int32(b * n_internal)
+
+    # phase 2: home-leaf descent + initial radius
+    node = jnp.ones(b, jnp.int32)
+    for _ in range(depth):
+        dq = jnp.take_along_axis(dpiv, node[:, None] - 1, 1)[:, 0]
+        med = medians[node - 1]
+        node = jnp.where(dq <= med, 2 * node, 2 * node + 1)
+    home_leaf = node - (n_internal + 1)  # [Q]
+    home = leaf_members[jnp.clip(home_leaf, 0, n_leaves - 1)]  # [Q, leaf_cap]
+    dh = _score_members(space, qenc, data, home)
+    ndist = ndist + jnp.sum(home >= 0)
+    kk = min(k, leaf_cap)
+    init_d, init_pos = T.smallest_k(dh, kk, jnp.where(home >= 0, home, -1))
+    if kk < k:
+        init_d = jnp.pad(init_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        init_pos = jnp.pad(init_pos, ((0, 0), (0, k - kk)), constant_values=-1)
+    # pivots also participate in results (they are real points)
+    piv_d, piv_pos = T.smallest_k(dpiv, min(k, n_internal), pivot_pos)
+    r = jnp.minimum(init_d[:, -1], piv_d[:, -1] if k <= n_internal else INF)
+
+    # phase 3: visit masks level by level (pruner rule, searchoracle.h)
+    aL, eL, aR, eR = pruner[0], pruner[1], pruner[2], pruner[3]
+    visit = jnp.ones((b, 1), bool)  # nodes at current level
+    for lvl in range(depth):
+        lo = (1 << lvl) - 1  # heap index offset of this level (0-based arrays)
+        width = 1 << lvl
+        dq = jax.lax.dynamic_slice_in_dim(dpiv, lo, width, 1)  # [Q, width]
+        med = jax.lax.dynamic_slice_in_dim(medians, lo, width, 0)[None, :]
+        diffL = jnp.maximum(med - dq, 0.0)
+        diffR = jnp.maximum(dq - med, 0.0)
+        left_only = (dq <= med) & (r[:, None] < aL * diffL**eL)
+        right_only = (dq >= med) & (r[:, None] < aR * diffR**eR) & ~left_only
+        go_left = visit & ~right_only
+        go_right = visit & ~left_only
+        visit = jnp.stack([go_left, go_right], axis=2).reshape(b, 2 * width)
+
+    # maxLeavesToVisit cap in left-to-right order (vptree.cc MaxLeavesToVisit)
+    if max_leaves < n_leaves:
+        cum = jnp.cumsum(visit.astype(jnp.int32), axis=1)
+        visit = visit & (cum <= max_leaves)
+
+    # phase 4: masked streaming scan over the union of visited leaves
+    # (memory-light: never materializes more than one [Q, chunk] block)
+    def chunk_dists(ci):
+        xcc = space.slice_data(data, ci * chunk, chunk)
+        d = space.block(qenc, xcc)
+        lf = jax.lax.dynamic_slice_in_dim(leaf_of, ci * chunk, chunk, 0)
+        vis = (
+            jnp.take_along_axis(
+                visit, jnp.clip(lf, 0, n_leaves - 1)[None, :].repeat(b, 0), 1
+            )
+            & (lf >= 0)[None, :]
+        )
+        return jnp.where(vis, d, INF)
+
+    cd, cpos = T.streaming_smallest_k(chunk_dists, n_pad // chunk, chunk, b, k)
+    ndist = ndist + jnp.sum(visit * leaf_count[None, :])
+
+    # merge the three result sets; dedup on the FULL concatenation before
+    # truncating to k (the home leaf is scored both in phase 2 and 4)
+    all_d = jnp.concatenate([init_d, piv_d, cd], axis=1)
+    all_p = jnp.concatenate([init_pos, piv_pos, cpos], axis=1)
+    md, mpos = _dedup_topk(all_d, all_p, k)
+    ids = jnp.where(mpos >= 0, data.ids[jnp.clip(mpos, 0, data.ids.shape[0] - 1)], -1)
+    return md, ids, ndist
+
+
+def _gather_xc(space, data, rows):
+    """Corpus slice at arbitrary row indices, in block()'s xc format."""
+    c = space.corpus_dict(data)
+    safe = jnp.clip(rows, 0, c["vecs"].shape[0] - 1)
+    xc = {"x": c["vecs"][safe], "pad": c["pad"][safe] + jnp.where(rows < 0, INF, 0.0)}
+    if c.get("term") is not None:
+        xc["x_term"] = c["term"][safe]
+    for k, v in c.items():
+        if k not in ("vecs", "pad", "term", "ids") and hasattr(v, "ndim"):
+            xc[k] = v[safe]
+    return xc
+
+
+def _score_members(space, qenc, data, rows):
+    """rows i32[..., C]: distance of every query to shared candidate rows
+    [Q, C] (rows may be -1). When rows differ per query ([Q, C]), fall
+    back to per-query gathering via ops.graph.score_rows."""
+    if rows.ndim == 1:
+        xc = _gather_xc(space, data, rows)
+        return space.block(qenc, xc)
+    from ..ops.graph import score_rows
+
+    corpus = space.corpus_dict(data)
+    return score_rows(space, qenc, corpus, rows)
+
+
+def _dedup_topk(d, pos, k):
+    """Mask duplicate positions (keep first occurrence), re-sort."""
+    dup = (pos[:, :, None] == pos[:, None, :]) & (pos[:, :, None] >= 0)
+    earlier = jnp.tril(jnp.ones((d.shape[1], d.shape[1]), bool), k=-1)[None]
+    is_dup = jnp.any(dup & earlier, axis=2)
+    d2 = jnp.where(is_dup, jnp.inf, d)
+    p2 = jnp.where(is_dup, -1, pos)
+    return T.smallest_k(d2, k, p2)
+
+
+@register_method("vptree")
+class VPTree(Method):
+    name = "vptree"
+    supports_range = True
+
+    def __init__(self, space, params: Params | None = None):
+        super().__init__(space, params)
+        pm = ParamManager(self.index_params)
+        self.bucket_size = pm.get("bucketSize", 50, int)
+        pm.get("chunkBucket", True, bool)  # parity no-op: layout is contiguous
+        pm.get("selectPivotAttempts", 5, int)  # parity no-op: random pivot
+        self.seed = pm.get("seed", 0, int)
+        # index-time tuning triggers (reference: vptree.cc + tune.h)
+        self.desired_recall = pm.get("desiredRecall", 0.0, float)
+        self.tune_k = pm.get("tuneK", 0, int)
+        self.tune_r = pm.get("tuneR", 0.0, float)
+        self.tune_qty = pm.get("tuneQty", 200, int)
+        pm.get("minExp", 1, int)
+        pm.get("maxExp", 1, int)
+        pm.check_unused()
+        # query-time pruner params (searchoracle.h defaults: all 1)
+        self.alpha_left = 1.0
+        self.exp_left = 1.0
+        self.alpha_right = 1.0
+        self.exp_right = 1.0
+        self.max_leaves = 1 << 30
+        self.dist_comps = 0
+        self._tree = None
+
+    def set_query_time_params(self, params: Params | None) -> None:
+        pm = ParamManager(Params.of(params))
+        self.alpha_left = pm.get("alphaLeft", self.alpha_left, float)
+        self.alpha_right = pm.get("alphaRight", self.alpha_right, float)
+        self.exp_left = pm.get("expLeft", self.exp_left, float)
+        self.exp_right = pm.get("expRight", self.exp_right, float)
+        self.max_leaves = pm.get("maxLeavesToVisit", self.max_leaves, int)
+        pm.check_unused()
+        super().set_query_time_params(params)
+
+    # ---------------- construction ----------------
+
+    def create_index(self, store: DataStore, params: Params | None = None) -> None:
+        self.store = store
+        n = len(store)
+        pref = getattr(self.space, "preferred_chunk", 8192)
+        chunk = max(8, min(pref, ((max(n, 1) + 7) // 8) * 8))
+        chunk = ((chunk + 7) // 8) * 8
+        self._chunk = chunk
+        self.data = self.space.encode_dataset(store, row_multiple=chunk)
+        if n == 0:
+            self._tree = None
+            return
+        rng = np_rng(self.seed)
+        # depth so that leaf size <= bucket_size (pivots removed on the way)
+        depth = 0
+        while (n >> depth) > self.bucket_size and (1 << depth) <= n:
+            depth += 1
+        self.depth = depth
+        n_internal = (1 << depth) - 1
+        n_leaves = 1 << depth
+
+        qenc_all = self.space.encode_queries(self.space.store_as_query_points(store))
+        perm = np.arange(n, dtype=np.int64)
+        bounds = [(0, n)]  # subsets at the current level as perm slices
+        pivot_pos = np.zeros(n_internal, np.int32)
+        medians = np.zeros(n_internal, np.float32)
+        node_base = 0
+        for lvl in range(depth):
+            width = 1 << lvl
+            pivots = np.zeros(width, np.int64)
+            for i, (lo, hi) in enumerate(bounds):
+                pivots[i] = perm[rng.integers(lo, hi)] if hi > lo else 0
+            # one blocked call: distances of this level's pivots to everything
+            qenc_p = _gather_qenc_rows(qenc_all, pivots)
+            d_all = np.asarray(
+                _pivot_block(self.space, qenc_p, self.data)
+            )  # [width, n_pad]
+            new_bounds = []
+            for i, (lo, hi) in enumerate(bounds):
+                node = node_base + i
+                piv = pivots[i]
+                pivot_pos[node] = piv
+                seg = perm[lo:hi]
+                seg = seg[seg != piv]  # pivot moves into the node
+                dseg = d_all[i, seg]
+                order = np.argsort(dseg, kind="stable")
+                seg = seg[order]
+                half = len(seg) // 2
+                med = (
+                    float(dseg[order[half - 1]] + dseg[order[half]]) / 2.0
+                    if 0 < half < len(seg)
+                    else (float(dseg[order[-1]]) if len(seg) else 0.0)
+                )
+                medians[node] = med
+                perm[lo : lo + len(seg)] = seg
+                perm[lo + len(seg) : hi] = piv  # stash pivot at the tail (ignored)
+                mid = lo + half
+                new_bounds.append((lo, mid))
+                new_bounds.append((mid, lo + len(seg)))
+            bounds = new_bounds
+            node_base += width
+        # pack leaves
+        leaf_cap = max(max((hi - lo for lo, hi in bounds), default=1), 1)
+        leaf_cap = ((leaf_cap + 7) // 8) * 8
+        leaf_members = np.full((n_leaves, leaf_cap), -1, np.int32)
+        n_pad = self.data.ids.shape[0]
+        leaf_of = np.full(n_pad, -1, np.int32)  # -1: pivots + padding rows
+        leaf_count = np.zeros(n_leaves, np.int32)
+        for i, (lo, hi) in enumerate(bounds):
+            leaf_members[i, : hi - lo] = perm[lo:hi]
+            leaf_of[perm[lo:hi]] = i
+            leaf_count[i] = hi - lo
+        self._tree = {
+            "pivot_pos": jnp.asarray(pivot_pos),
+            "medians": jnp.asarray(medians),
+            "leaf_members": jnp.asarray(leaf_members),
+            "leaf_of": jnp.asarray(leaf_of),
+            "leaf_count": jnp.asarray(leaf_count),
+        }
+        self.leaf_cap = leaf_cap
+        log("DEBUG", f"vptree built: n={n} depth={depth} leaf_cap={leaf_cap}")
+        if self.desired_recall > 0:
+            self._autotune(store)
+
+    def _autotune(self, store: DataStore) -> None:
+        """GetOptimalAlphas analog (reference: include/tune.h, vptree.cc):
+        pick the largest alpha (fewest visits) whose recall on a sampled
+        query set still meets desiredRecall."""
+        from ..eval.tune import tune_vptree_alphas
+
+        k = self.tune_k if self.tune_k > 0 else 10
+        res = tune_vptree_alphas(self, store, k=k, desired_recall=self.desired_recall,
+                                 sample=min(self.tune_qty, len(store)))
+        self.alpha_left = res["alphaLeft"]
+        self.alpha_right = res["alphaRight"]
+        log("INFO", f"vptree autotune: {res}")
+
+    # ---------------- search ----------------
+
+    def _pruner(self):
+        return jnp.asarray(
+            [self.alpha_left, self.exp_left, self.alpha_right, self.exp_right],
+            jnp.float32,
+        )
+
+    def knn(self, points, k: int):
+        if self._tree is None:
+            raise IndexNotBuiltError("vptree: index not built")
+        qenc = self.space.encode_queries(points)
+        t = self._tree
+        if t["pivot_pos"].shape[0] == 0:
+            # degenerate: single leaf = exact scan
+            d = _score_members(self.space, qenc, self.data, t["leaf_members"][0])
+            dd, pos = T.smallest_k(d, min(k, d.shape[1]), t["leaf_members"][0])
+            ids = jnp.where(pos >= 0, self.data.ids[jnp.clip(pos, 0, self.data.ids.shape[0] - 1)], -1)
+            return self._finalize_knn(*_pad_k(dd, ids, k))
+        ml = min(self.max_leaves, t["leaf_members"].shape[0])
+        d, ids, nd = _vptree_knn(
+            self.space, qenc, self.data,
+            t["pivot_pos"], t["medians"], t["leaf_members"],
+            t["leaf_of"], t["leaf_count"], self._pruner(),
+            self.depth, self.leaf_cap, k, ml, self._chunk,
+        )
+        self.dist_comps += int(nd)
+        return self._finalize_knn(d, ids)
+
+    def range(self, points, radius: float):
+        """Pruned range query (reference: vptree.cc GenericSearch with
+        RangeQuery). Implemented as a full masked scan — the visited-set
+        semantics of kNN phase 3 with a fixed radius collapse to this,
+        and exactness is what the reference's range contract requires."""
+        from .seq_search import _all_dists_device
+
+        if self._tree is None:
+            raise IndexNotBuiltError("vptree: index not built")
+        qenc = self.space.encode_queries(points)
+        chunk = self.data.ids.shape[0]
+        dists = np.asarray(_all_dists_device(self.space, qenc, self.data, chunk, "float32"))
+        ids = np.asarray(self.data.ids)
+        self.dist_comps += dists.shape[0] * self.data.count
+        out = []
+        for row in dists:
+            sel = np.nonzero(row <= radius)[0]
+            order = np.argsort(row[sel], kind="stable")
+            sel = sel[order]
+            out.append((ids[sel].copy(), row[sel].copy()))
+        return out
+
+    # ---------------- persistence ----------------
+
+    def state_arrays(self) -> dict:
+        if self._tree is None:
+            return {}
+        return {
+            "pivot_pos": np.asarray(self._tree["pivot_pos"]),
+            "medians": np.asarray(self._tree["medians"]),
+            "leaf_members": np.asarray(self._tree["leaf_members"]),
+            "leaf_of": np.asarray(self._tree["leaf_of"]),
+            "leaf_count": np.asarray(self._tree["leaf_count"]),
+            "meta": np.asarray([self.depth, self.leaf_cap, self.bucket_size, self._chunk]),
+        }
+
+    def restore(self, store: DataStore, state: dict, params: Params | None = None) -> None:
+        if not state:
+            self.create_index(store, params)
+            return
+        self.store = store
+        self._chunk = int(state["meta"][3])
+        self.data = self.space.encode_dataset(store, row_multiple=self._chunk)
+        self._tree = {
+            k: jnp.asarray(state[k])
+            for k in ("pivot_pos", "medians", "leaf_members", "leaf_of", "leaf_count")
+        }
+        self.depth = int(state["meta"][0])
+        self.leaf_cap = int(state["meta"][1])
+
+
+def _pad_k(d, ids, k):
+    kk = d.shape[1]
+    if kk >= k:
+        return d[:, :k], ids[:, :k]
+    return (
+        jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=jnp.inf),
+        jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1),
+    )
+
+
+def _gather_qenc_rows(qenc_all: dict, rows):
+    n = next(
+        v.shape[0] for v in qenc_all.values() if hasattr(v, "ndim") and v.ndim >= 1
+    )
+    out = {}
+    for k, v in qenc_all.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = v[jnp.asarray(rows)]
+        else:
+            out[k] = v
+    return out
+
+
+@partial(jax.jit, static_argnames=("space",))
+def _pivot_block(space, qenc_p, data):
+    xc = space.slice_data(data, 0, data.ids.shape[0])
+    return space.block(qenc_p, xc)

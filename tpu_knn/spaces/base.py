@@ -59,6 +59,26 @@ class Space:
     def block(self, qenc, xchunk, precision: str = "float32"):
         raise NotImplementedError
 
+    # -- graph-search support (ops/graph.py, methods/hnsw.py) --
+    def corpus_dict(self, data) -> dict:
+        """Row-indexed corpus arrays for gather-based graph search:
+        'vecs' is gathered into block()'s ``x`` slot, 'pad' masks padded
+        rows, and every other key is gathered and passed through."""
+        c = {"vecs": data.vecs, "pad": data.extra["pad"]}
+        if getattr(data, "row_term", None) is not None:
+            c["term"] = data.row_term
+        return c
+
+    def store_as_query_points(self, store: DataStore):
+        """The store's raw points in encode_queries' input format, index-
+        addressable (used to score corpus points against each other
+        during graph construction)."""
+        if self.data_kind in (DataKind.DENSE, DataKind.UINT8):
+            return store.dense_matrix()
+        if self.data_kind is DataKind.SPARSE:
+            return np.asarray(store.sparse_points(), dtype=object)
+        return np.asarray(store.strings(), dtype=object)
+
     def pairwise(self, a, b) -> float:
         """One-pair distance on raw points."""
         qenc = self.encode_queries([a])

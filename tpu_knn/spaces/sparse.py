@@ -1,0 +1,286 @@
+"""Sparse vector spaces over padded CSR (SURVEY.md §2.3 sparse rows).
+
+Covers the reference families:
+  * "slow" sparse Lp / scalar-product spaces
+    (include/space/space_sparse_vector.h, space_sparse_lp.h,
+    space_sparse_scalar.h),
+  * the "_fast" block-packed SIMD variants
+    (include/space/space_sparse_scalar_fast.h,
+    src/distcomp_sparse_scalar_fast.cc) — on TPU slow/fast share one
+    kernel (the CPU distinction is a storage/SIMD format, not a
+    semantic one), so the ``*_fast`` names register the same classes,
+  * the binary (presence-only) "_bin_fast" variants
+    (include/space/space_sparse_bin_common.h) — values forced to 1,
+  * sparse_jaccard (include/space/space_sparse_jaccard.h).
+
+Element ids obey the API contract: >= 1, strictly increasing
+(reference: lib.zig:728-738). The padded-CSR layout and the batched
+sorted-lookup kernel are described in ops/sparse.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataset import (
+    DataKind,
+    DataStore,
+    DistKind,
+    SparseDeviceData,
+    SparsePoint,
+    round_up,
+)
+from ..core.errors import InvalidArgumentError
+from ..core.params import ParamManager, Params
+from ..core.registry import register_space
+from ..ops import sparse as S
+from .base import Space
+from .dense import PAD_TERM
+
+_TINY = 1e-10
+
+
+def _pack_csr(points: list[SparsePoint], n_pad: int, nnz_mult: int = 8, pad_col=S.PAD_X):
+    """Pack SparsePoints into padded CSR host arrays. The packing loop is
+    native C++ when built (native/tpu_knn_native.cpp tk_pack_csr, the
+    ParallelFor-style host runtime); numpy fallback otherwise."""
+    from ..io import native
+
+    nnz_max = max((len(p.ids) for p in points), default=1)
+    nnz_max = round_up(max(nnz_max, 1), nnz_mult)
+    n = len(points)
+    row_len = np.asarray([len(p.ids) for p in points], np.int32)
+    ids = (
+        np.concatenate([p.ids for p in points]).astype(np.int32)
+        if n
+        else np.zeros(0, np.int32)
+    )
+    vals = (
+        np.concatenate([p.values for p in points]).astype(np.float32)
+        if n
+        else np.zeros(0, np.float32)
+    )
+    col, val, length = native.pack_csr(row_len, ids, vals, n_pad, nnz_max, int(pad_col))
+    return col, val, length
+
+
+class SparseSpaceBase(Space):
+    """Shared encode machinery for sparse float spaces."""
+
+    data_kind = DataKind.SPARSE
+    dist_kind = DistKind.FLOAT
+    np_dtype = np.float32
+    #: Sparse blocks materialize [Q, C, nnz]; keep corpus chunks modest.
+    preferred_chunk = 256
+    binary = False  # presence-only variants force values to 1
+
+    def encode_dataset(self, store: DataStore, row_multiple: int = 8) -> SparseDeviceData:
+        pts = store.sparse_points()
+        n = len(pts)
+        n_pad = round_up(max(n, 1), row_multiple)
+        col, val, length = _pack_csr(pts, n_pad)
+        if self.binary:
+            val = (np.abs(val) > 0).astype(np.float32)
+        pad = np.zeros(n_pad, np.float32)
+        pad[n:] = PAD_TERM
+        ids = np.full(n_pad, -1, np.int32)
+        ids[:n] = np.asarray(store.ids, np.int32)
+        data = SparseDeviceData(
+            col=jnp.asarray(col),
+            val=jnp.asarray(val),
+            length=jnp.asarray(length),
+            ids=jnp.asarray(ids),
+            count=n,
+        )
+        data.extra["pad"] = jnp.asarray(pad)
+        return data
+
+    def encode_queries(self, points) -> dict:
+        pts = [
+            p if isinstance(p, SparsePoint) else DataStore.validate_sparse(p)
+            for p in points
+        ]
+        col, val, length = _pack_csr(pts, len(pts), pad_col=S.PAD_Q)
+        if self.binary:
+            val = (np.abs(val) > 0).astype(np.float32)
+        enc = {
+            "qcol": jnp.asarray(col),
+            "qval": jnp.asarray(val),
+            "qlen": jnp.asarray(length),
+        }
+        self._add_query_terms(enc, val, length)
+        return enc
+
+    def _add_query_terms(self, enc: dict, val: np.ndarray, length: np.ndarray) -> None:
+        pass
+
+    def slice_data(self, data: SparseDeviceData, start, size) -> dict:
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, 0)
+        return {
+            "x": sl(data.val),
+            "cols": sl(data.col),
+            "len": sl(data.length),
+            "pad": sl(data.extra["pad"]),
+        }
+
+    def corpus_dict(self, data: SparseDeviceData) -> dict:
+        """Graph-search corpus arrays, all row-indexed (see
+        methods/hnsw.py _corpus_dict / ops/graph.py score_rows)."""
+        return {
+            "vecs": data.val,
+            "cols": data.col,
+            "len": data.length,
+            "pad": data.extra["pad"],
+        }
+
+    def block(self, qenc, xc, precision: str = "float32") -> jax.Array:
+        d = self._block_impl(qenc, xc, precision)
+        return d + xc["pad"][None, :]
+
+    def _block_impl(self, qenc, xc, precision):
+        raise NotImplementedError
+
+
+# ---------------- scalar-product family ----------------
+
+
+class SparseDotBase(SparseSpaceBase):
+    def _norm_dot(self, qenc, xc):
+        """dot / (|q| |x|), the NormScalarProduct analog
+        (src/distcomp_scalar.cc NormScalarProductSIMD; 0-norm rows give 0)."""
+        dot = S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        qn = S.norms_from_vals(qenc["qval"])[:, None]
+        xn = S.norms_from_vals(xc["x"])[None, :]
+        return dot / jnp.maximum(qn * xn, _TINY)
+
+
+@register_space("cosinesimil_sparse")
+@register_space("cosinesimil_sparse_fast")
+class SparseCosineSpace(SparseDotBase):
+    """max(0, 1 - dot/(|q||x|)) (reference: CosineSimilarity,
+    src/distcomp_scalar.cc:268-273)."""
+
+    name = "cosinesimil_sparse"
+
+    def _block_impl(self, qenc, xc, precision):
+        return jnp.maximum(0.0, 1.0 - self._norm_dot(qenc, xc))
+
+
+@register_space("cosinesimil_sparse_bin_fast")
+class SparseCosineBinSpace(SparseCosineSpace):
+    name = "cosinesimil_sparse_bin_fast"
+    binary = True
+
+
+@register_space("angulardist_sparse")
+@register_space("angulardist_sparse_fast")
+class SparseAngularSpace(SparseDotBase):
+    """acos(clip(dot/(|q||x|), -1, 1)) (reference: AngularDistance)."""
+
+    name = "angulardist_sparse"
+
+    def _block_impl(self, qenc, xc, precision):
+        return jnp.arccos(jnp.clip(self._norm_dot(qenc, xc), -1.0, 1.0))
+
+
+@register_space("negdotprod_sparse")
+@register_space("negdotprod_sparse_fast")
+class SparseNegDotSpace(SparseDotBase):
+    name = "negdotprod_sparse"
+
+    def _block_impl(self, qenc, xc, precision):
+        return -S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+
+
+@register_space("negdotprod_sparse_bin_fast")
+class SparseNegDotBinSpace(SparseNegDotSpace):
+    name = "negdotprod_sparse_bin_fast"
+    binary = True
+
+
+@register_space("querynorm_negdotprod_sparse")
+@register_space("querynorm_negdotprod_sparse_fast")
+class SparseQueryNormNegDotSpace(SparseDotBase):
+    """-dot(x, q)/|q|: QueryNormScalarProduct normalizes by the second
+    (query) argument only (reference: src/distcomp_scalar.cc:64-79)."""
+
+    name = "querynorm_negdotprod_sparse"
+
+    def _block_impl(self, qenc, xc, precision):
+        dot = S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        qn = jnp.maximum(S.norms_from_vals(qenc["qval"]), _TINY)
+        return -dot / qn[:, None]
+
+
+# ---------------- Lp family ----------------
+
+
+class SparseLpBase(SparseSpaceBase):
+    """Union-of-supports Lp (reference: space_sparse_lp.h merge loops)."""
+
+    p: float = 2.0
+
+    def _add_query_terms(self, enc, val, length):
+        if not math.isinf(self.p):
+            enc["q_pterm"] = jnp.asarray(
+                np.sum(np.abs(val) ** self.p, axis=1).astype(np.float32)
+            )
+
+    def _block_impl(self, qenc, xc, precision):
+        if math.isinf(self.p):
+            return S.linf_union_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        d = S.lp_union_blocked(
+            qenc["qcol"], qenc["qval"], xc["cols"], xc["x"], self.p, qenc["q_pterm"]
+        )
+        d = jnp.maximum(d, 0.0)
+        return d if self.p == 1.0 else d ** (1.0 / self.p)
+
+
+@register_space("l1_sparse")
+class SparseL1Space(SparseLpBase):
+    name = "l1_sparse"
+    p = 1.0
+
+
+@register_space("l2_sparse")
+class SparseL2Space(SparseLpBase):
+    name = "l2_sparse"
+    p = 2.0
+
+
+@register_space("linf_sparse")
+class SparseLinfSpace(SparseLpBase):
+    name = "linf_sparse"
+    p = math.inf
+
+
+@register_space("lp_sparse")
+class SparseLpSpace(SparseLpBase):
+    name = "lp_sparse"
+
+    def __init__(self, params=None):
+        pm = ParamManager(params)
+        p = pm.get("p", 2.0, float)
+        pm.check_unused()
+        if p <= 0:
+            raise InvalidArgumentError("lp_sparse requires p > 0")
+        super().__init__(params)
+        self.p = p
+
+
+# ---------------- Jaccard ----------------
+
+
+@register_space("sparse_jaccard")
+class SparseJaccardSpace(SparseSpaceBase):
+    """1 - |A∩B|/|A∪B| over sorted id sets; values ignored (reference:
+    space_sparse_jaccard.h, distcomp.h:253-262)."""
+
+    name = "sparse_jaccard"
+
+    def _block_impl(self, qenc, xc, precision):
+        return S.jaccard_blocked(qenc["qcol"], xc["cols"], qenc["qlen"], xc["len"])
