@@ -105,3 +105,18 @@ def test_meta_analysis():
     agg = m.aggregate()
     assert agg["recall"]["mean"] == pytest.approx(0.85)
     assert agg["qps"]["std"] > 0
+
+
+def test_intrinsic_dimensionality(rng):
+    from tpu_knn.eval import compute_intrinsic_dimensionality, format_table
+
+    x = rng.standard_normal((300, 16)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=16))
+    r = compute_intrinsic_dimensionality(space, store, sample_qty=4000)
+    # gaussian L2 distances concentrate: IntrDim grows with dim, O(d)
+    assert 2.0 < r["intrinsic_dim"] < 60.0
+    assert r["dist_mean"] > 0 and r["dist_sigma"] > 0
+    tbl = format_table([{"recall": 0.95, "qps": 1234.5}, {"recall": 0.9, "qps": 2000.0}])
+    assert "recall" in tbl and "1234" in tbl

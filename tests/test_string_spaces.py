@@ -133,3 +133,54 @@ def test_sparse_dense_fusion(rng):
     order = np.argsort(dots)
     assert list(ids[0]) == list(order)
     assert np.allclose(sorted(dots), d[0], atol=1e-5)
+
+
+def test_sqfd(rng):
+    """SQFD vs a direct W^T A W evaluation (space_sqfd.cc layout)."""
+    import json
+
+    from tpu_knn.core.registry import create_space
+
+    def sig(nc, d=4):
+        return {
+            "weights": [float(x) for x in rng.random(nc)],
+            "centers": [[float(v) for v in rng.standard_normal(d)] for _ in range(nc)],
+        }
+
+    def oracle(a, b, f):
+        wa, ca = np.asarray(a["weights"]), np.asarray(a["centers"])
+        wb, cb = np.asarray(b["weights"]), np.asarray(b["centers"])
+        w = np.concatenate([wa, -wb])
+        c = np.concatenate([ca, cb])
+        dd = np.sqrt(((c[:, None] - c[None, :]) ** 2).sum(-1))
+        return float(np.sqrt(max(w @ f(dd) @ w, 0.0)))
+
+    sigs = [sig(int(rng.integers(2, 6))) for _ in range(5)]
+    qs = [sig(3), sig(4)]
+    fns = {
+        "sqfd_minus_func": lambda d: -d,
+        "sqfd_heuristic_func": lambda d: 1.0 / (1.0 + d),
+        "sqfd_gaussian_func": lambda d: np.exp(-1.0 * d * d),
+    }
+    from tpu_knn.core.dataset import DataStore
+
+    for name, f in fns.items():
+        space = create_space(name, Params(alpha=1.0))
+        store = DataStore(DataKind.STRING)
+        store.add_string_batch([json.dumps(s) for s in sigs])
+        data = space.encode_dataset(store)
+        qenc = space.encode_queries([json.dumps(q) for q in qs])
+        d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
+        for i, q in enumerate(qs):
+            for j, x in enumerate(sigs):
+                assert d[i, j] == pytest.approx(oracle(q, x, f), rel=1e-3, abs=1e-3), name
+
+
+def test_space_whitelist_parity():
+    """is_valid_space_type mirrors the reference's 55-entry whitelist
+    (lib.zig:428-492), including its file-name quirks."""
+    from tpu_knn import is_valid_space_type
+
+    for name in ("l2", "cosine", "sparse_vector", "sqfd_minus_func", "word_embed_dist_l2"):
+        assert is_valid_space_type(name), name
+    assert not is_valid_space_type("no_such_space")

@@ -20,6 +20,34 @@ _METHODS: dict[str, Callable] = {}
 #: Space-name aliases, e.g. "cosine" -> "cosinesimil" (reference: lib.zig:530-533).
 SPACE_ALIASES = {"cosine": "cosinesimil"}
 
+#: The reference's 55-entry space-type whitelist, verbatim
+#: (lib.zig:428-492). NB it is intentionally quirky: it contains entries
+#: that are source-file names rather than registered spaces
+#: (sparse_vector, sparse_scalar*, sparse_l1/l2/linf) and the sqfd_*
+#: spaces its own build excludes (build.zig:16) — isValidSpaceType
+#: accepts them while creation fails. We mirror that: the names below
+#: validate; only registered names construct.
+SPACE_TYPES_WHITELIST = frozenset(
+    {
+        "abdiv_fast", "abdiv_slow", "angulardist", "angulardist_sparse",
+        "angulardist_sparse_fast", "bit_hamming", "bit_jaccard", "cosine",
+        "cosinesimil", "cosinesimil_sparse", "cosinesimil_sparse_bin_fast",
+        "cosinesimil_sparse_fast", "dummy", "itakurasaitofast",
+        "itakurasaitofastrq", "itakurasaitoslow", "js_div_fast",
+        "js_div_fast_approx", "js_div_slow", "kldivfast", "kldivfastrq",
+        "kldivgenfast", "kldivgenfastrq", "kldivgenslow", "l1", "l2",
+        "l2sqr_sift", "l1_sparse", "l2_sparse", "linf", "lp", "normleven",
+        "negdotprod", "negdotprod_sparse", "negdotprod_sparse_fast",
+        "negdotprod_sparse_bin_fast", "querynorm_negdotprod_sparse",
+        "querynorm_negdotprod_sparse_fast", "renyidiv_fast", "renyidiv_slow",
+        "sparse_dense_fusion", "sparse_vector", "sparse_vector_inter",
+        "sparse_scalar", "sparse_scalar_fast", "sparse_scalar_bin_fast",
+        "sparse_jaccard", "sparse_l1", "sparse_l2", "sparse_linf",
+        "sqfd_gaussian_func", "sqfd_heuristic_func", "sqfd_minus_func",
+        "word_embed", "word_embed_dist_cosine", "word_embed_dist_l2",
+    }
+)
+
 
 def register_space(name: str):
     def deco(ctor: Callable):
@@ -67,5 +95,7 @@ def known_methods() -> list[str]:
 
 
 def is_valid_space_type(name: str) -> bool:
-    """Reference analog: lib.zig isValidSpaceType (lib.zig:487-492)."""
-    return canonical_space_name(name) in _SPACES
+    """Reference analog: lib.zig isValidSpaceType (lib.zig:487-492):
+    membership in the verbatim whitelist, extended by anything actually
+    registered (we register spaces the whitelist omits, e.g. leven)."""
+    return name in SPACE_TYPES_WHITELIST or canonical_space_name(name) in _SPACES

@@ -17,3 +17,14 @@ __all__ = [
     "run_full_experiment",
     "tune_vptree_alphas",
 ]
+from .report import (  # noqa: E402
+    compute_intrinsic_dimensionality,
+    format_table,
+    report_intrinsic_dimensionality,
+)
+
+__all__ += [
+    "compute_intrinsic_dimensionality",
+    "report_intrinsic_dimensionality",
+    "format_table",
+]

@@ -6,5 +6,6 @@ from . import string  # noqa: F401
 from . import bits  # noqa: F401
 from . import embed  # noqa: F401
 from . import fusion  # noqa: F401
+from . import sqfd  # noqa: F401
 
 from .base import Space  # noqa: F401

@@ -420,6 +420,30 @@ class JSDivFastApprox(JSDivSpace):
     name = "js_div_fast_approx"
 
 
+class JSMetricSpace(JSDivSpace):
+    """JS *metric* = sqrt(JS divergence) (reference: space_js.h kJSFast*
+    metric variants, init_spaces.h:69-71 — registered but absent from the
+    Zig whitelist)."""
+
+    def _block_impl(self, qenc, xc, precision):
+        return jnp.sqrt(jnp.maximum(super()._block_impl(qenc, xc, precision), 0.0))
+
+
+@register_space("jsmetrslow")
+class JSMetricSlow(JSMetricSpace):
+    name = "jsmetrslow"
+
+
+@register_space("jsmetrfast")
+class JSMetricFast(JSMetricSpace):
+    name = "jsmetrfast"
+
+
+@register_space("jsmetrfastapprox")
+class JSMetricFastApprox(JSMetricSpace):
+    name = "jsmetrfastapprox"
+
+
 # ---------------- alpha-beta / Renyi divergences ----------------
 
 
