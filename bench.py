@@ -34,7 +34,7 @@ def bench_exact_knn(n=1_000_000, d=128, q=2048, k=10, chunk=16384, iters=5):
     from tpu_knn.core.dataset import DataKind, DataStore
     from tpu_knn.core.params import Params
     from tpu_knn.core.registry import create_space
-    from tpu_knn.methods.seq_search import _knn_device
+    from tpu_knn.methods.seq_search import _knn_device_twopass as _knn_device
 
     rng = np.random.default_rng(0)
     # SIFT-like: non-negative, clustered-ish uint8 range

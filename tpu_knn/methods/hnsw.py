@@ -227,7 +227,23 @@ class Hnsw(Method):
                 jnp.int32(start),
                 jnp.asarray(wl_all[start : start + w]),
                 jnp.int32(self._entry),
+                jnp.int32(start),  # frozen-prefix limit during the build
             )
+        # post passes: re-run every point against the FULL graph, merging
+        # new neighborhoods into existing rows (reference: hnsw.cc:251-338,
+        # post=1|2 reverse-order rebuild-and-merge)
+        n_total = len(self.levels)
+        for _ in range(self.post if hi >= n_total else 0):
+            for wi in range(num_waves - 1, -1, -1):
+                start = lo + wi * w
+                level0, upper = step(
+                    level0,
+                    upper,
+                    jnp.int32(start),
+                    jnp.asarray(wl_all[start : start + w]),
+                    jnp.int32(self._entry),
+                    jnp.int32(n_total),  # full visibility
+                )
         self.graph = {"level0": level0}
         self._upper = upper
 
@@ -255,7 +271,7 @@ class Hnsw(Method):
         exact_heur = self.delaunay_type != 0
         oob = jnp.int32(2**30)
 
-        def level_candidates(adj, start, wave_ids, wl, l, cur):
+        def level_candidates(adj, limit, wave_ids, wl, l, cur):
             """Beam over the frozen graph + nearest wave-mates, heuristic-
             selected down to M forward neighbors. Returns (sel [W,M],
             best_d [W], best_i [W]) where best_* trace the closest point
@@ -264,7 +280,7 @@ class Hnsw(Method):
             beam_d, beam_i, _ = G.beam_search(
                 space, qe, corpus, adj, None, cur, ef=efc, expand=expand
             )
-            frozen_ok = (beam_i < start) & (beam_i >= 0)
+            frozen_ok = (beam_i < limit) & (beam_i >= 0) & (beam_i != wave_ids[:, None])
             beam_i = jnp.where(frozen_ok, beam_i, NEG1)
             beam_d = jnp.where(frozen_ok, beam_d, INF)
 
@@ -331,6 +347,9 @@ class Hnsw(Method):
             base = jnp.where(grp_valid, grp_n, 0)
 
             old = adj[base]  # [P, cap]
+            # drop inserts already present in the row (post passes re-insert)
+            dup_old = jnp.any(new_c[:, :, None] == old[:, None, :], axis=2)
+            new_c = jnp.where(dup_old, NEG1, new_c)
             cand = jnp.concatenate([old, new_c], axis=1)  # [P, cap+gcap]
             qe = _gather_qenc(qenc_all, base, n_total)
             base_d = G.score_rows(space, qe, corpus, cand)
@@ -355,7 +374,11 @@ class Hnsw(Method):
             tgt = jnp.where(grp_valid, base, oob)
             return adj.at[tgt].set(newrow, mode="drop")
 
-        def wave_step(level0, upper, start, wl, entry):
+        def wave_step(level0, upper, start, wl, entry, limit):
+            """Insert/refresh points [start, start+w). ``limit`` bounds
+            which graph nodes may be linked to: ``start`` during the
+            initial build (frozen prefix), ``n`` during post passes
+            (full visibility; reference: hnsw.cc:251-338)."""
             wave_ids = start + jnp.arange(w, dtype=jnp.int32)
             qe = _gather_qenc(qenc_all, wave_ids, n_total)
             cur = jnp.full(w, entry, jnp.int32)  # global entry point
@@ -364,7 +387,7 @@ class Hnsw(Method):
             for l in range(max_level, 0, -1):
                 adj = new_upper[l - 1]
                 connect = (wl >= l) & (wl >= 0)
-                sel, best_d, best_i = level_candidates(adj, start, wave_ids, wl, l, cur)
+                sel, best_d, best_i = level_candidates(adj, limit, wave_ids, wl, l, cur)
                 adj = scatter_forward(adj, mcap, sel, wave_ids, connect)
                 adj = reverse_update(adj, mcap, sel, wave_ids, connect)
                 new_upper[l - 1] = adj
@@ -372,7 +395,7 @@ class Hnsw(Method):
                 cur = jnp.where(better, best_i, cur)
                 cur_d = jnp.where(better, best_d, cur_d)
             connect0 = wl >= 0
-            sel, _, _ = level_candidates(level0, start, wave_ids, wl, 0, cur)
+            sel, _, _ = level_candidates(level0, limit, wave_ids, wl, 0, cur)
             level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
             level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
             return level0, new_upper

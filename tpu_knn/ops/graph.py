@@ -41,17 +41,8 @@ def _qenc_axes(qenc: dict, batch: int):
     }
 
 
-def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
-    """Distances between query b and its own gathered candidate rows.
-
-    ids: i32[B, K] corpus row indices (may be -1 / padding; those score +INF).
-    corpus: {'vecs': [N,D], 'pad': [N], optional 'term': [N], extra arrays}.
-    Returns f32[B, K].
-
-    Works for every space because it reuses Space.block on a per-query
-    basis (vmapped batched matvec on the MXU for factored spaces).
-    """
-    b, k = ids.shape
+def gather_rows(corpus: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array, dict]:
+    """Per-query row gather: (rows [B,K,...], pad [B,K], extras)."""
     safe = jnp.clip(ids, 0, corpus["vecs"].shape[0] - 1)
     rows = corpus["vecs"][safe]  # [B, K, D]
     pad = corpus["pad"][safe] + jnp.where(ids < 0, INF, 0.0)  # [B, K]
@@ -61,7 +52,37 @@ def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
     for key, arr in corpus.items():
         if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
             extra_sl[key] = arr[safe]
+    return rows, pad, extra_sl
 
+
+def gather_row_groups(corpus: dict, gsel: jax.Array, group: int = 128):
+    """Per-query *group* gather: gsel i32[B, KG] indexes contiguous
+    ``group``-row blocks, so each gathered granule is group*rowbytes of
+    sequential HBM (64KB for f32[128,128] rows) instead of one row —
+    measured ~5x faster than row gathers for the two-pass exact scan.
+    Returns (rows [B, KG*group, ...], pad, extras) like gather_rows."""
+    b, kg = gsel.shape
+
+    def expand(arr):
+        g = arr.reshape((arr.shape[0] // group, group) + arr.shape[1:])
+        out = g[gsel]  # [B, KG, group, ...]
+        return out.reshape((b, kg * group) + arr.shape[1:])
+
+    rows = expand(corpus["vecs"])
+    pad = expand(corpus["pad"])
+    extra_sl = {}
+    if corpus.get("term") is not None:
+        extra_sl["x_term"] = expand(corpus["term"])
+    for key, arr in corpus.items():
+        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
+            extra_sl[key] = expand(arr)
+    cols = gsel[:, :, None] * group + jnp.arange(group)[None, None, :]
+    return rows, pad, extra_sl, cols.reshape(b, kg * group)
+
+
+def score_gathered(space, qenc: dict, rows, pad, extra_sl: dict) -> jax.Array:
+    """Distances of query b to its pre-gathered candidate rows [B,K,...]."""
+    b = rows.shape[0]
     axes = _qenc_axes(qenc, b)
 
     def one(qe, r, p, ex):
@@ -72,7 +93,21 @@ def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
         return space.block(qe, xc)[0]
 
     ex_axes = {k: 0 for k in extra_sl}
-    d = jax.vmap(one, in_axes=(axes, 0, 0, ex_axes))(qenc, rows, pad, extra_sl)
+    return jax.vmap(one, in_axes=(axes, 0, 0, ex_axes))(qenc, rows, pad, extra_sl)
+
+
+def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
+    """Distances between query b and its own gathered candidate rows.
+
+    ids: i32[B, K] corpus row indices (may be -1 / padding; those score +INF).
+    corpus: {'vecs': [N,D], 'pad': [N], optional 'term': [N], extra arrays}.
+    Returns f32[B, K].
+
+    Works for every space because it reuses Space.block on a per-query
+    basis (vmapped batched matvec on the MXU for factored spaces).
+    """
+    rows, pad, extra_sl = gather_rows(corpus, ids)
+    d = score_gathered(space, qenc, rows, pad, extra_sl)
     return jnp.where(ids < 0, INF, d)
 
 

@@ -59,6 +59,16 @@ class Space:
     def block(self, qenc, xchunk, precision: str = "float32"):
         raise NotImplementedError
 
+    def pass1_affine(self):
+        """If the distance is affine-monotone in the factored matmul —
+        order(dist) == order(scale*<q,x> + sq*q_term + sx*x_term) — return
+        (scale, sq, sx) so the fused Pallas group-min kernel
+        (ops/pallas_scan.py) can run pass 1 of the exact two-pass scan.
+        Monotone post-transforms (sqrt, arccos∘neg) are dropped: pass 1
+        only selects candidates, pass 2 re-scores with block(). Return
+        None when the distance doesn't factor this way."""
+        return None
+
     # -- graph-search support (ops/graph.py, methods/hnsw.py) --
     def corpus_dict(self, data) -> dict:
         """Row-indexed corpus arrays for gather-based graph search:

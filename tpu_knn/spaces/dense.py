@@ -160,6 +160,9 @@ class LpSpaceBase(DenseSpace):
     def _term_q(self, v):
         return D.sq_norms(jnp.asarray(v)) if self.p == 2.0 else None
 
+    def pass1_affine(self):
+        return (-2.0, 1.0, 1.0) if self.p == 2.0 else None
+
     def _block_impl(self, qenc, xc, precision):
         if self.p == 2.0:
             d2 = D.factored(
@@ -225,6 +228,9 @@ class CosineSpace(DenseSpace):
 
     name = "cosinesimil"
 
+    def pass1_affine(self):
+        return (-1.0, 0.0, 0.0)
+
     def _transform_x(self, v):
         return _normalize_rows(v)
 
@@ -239,6 +245,9 @@ class CosineSpace(DenseSpace):
 class AngularSpace(DenseSpace):
     name = "angulardist"
 
+    def pass1_affine(self):
+        return (-1.0, 0.0, 0.0)
+
     def _transform_x(self, v):
         return _normalize_rows(v)
 
@@ -252,6 +261,9 @@ class AngularSpace(DenseSpace):
 @register_space("negdotprod")
 class NegDotProdSpace(DenseSpace):
     name = "negdotprod"
+
+    def pass1_affine(self):
+        return (-1.0, 0.0, 0.0)
 
     def _block_impl(self, qenc, xc, precision):
         return D.negdot_blocked(qenc["q"], xc["x"], precision)
@@ -296,6 +308,9 @@ class KLDivSpace(DenseSpace):
         if self.generalized:
             t = t - np.sum(v, axis=1)
         return t
+
+    def pass1_affine(self):
+        return (-1.0, 1.0, 1.0)
 
     def _block_impl(self, qenc, xc, precision):
         g = D.matmul(qenc["q"], xc["x"], precision)  # q . log x  (or log q . x)
@@ -364,6 +379,9 @@ class ItakuraSaitoSpace(DenseSpace):
     def _term_q(self, v):
         s = np.sum(_safe_log(v), axis=1)
         return s if self.reversed else -s
+
+    def pass1_affine(self):
+        return (1.0, 1.0, 1.0)
 
     def _block_impl(self, qenc, xc, precision):
         g = D.matmul(qenc["q"], xc["x"], precision)
@@ -474,6 +492,11 @@ class AlphaBetaDivSpace(DenseSpace):
     def _term_q(self, v):
         return np.sum(np.maximum(v, _TINY) ** (self.alpha + self.beta), axis=1)
 
+    def pass1_affine(self):
+        a, b = self.alpha, self.beta
+        s = a + b
+        return (-1.0 / (a * b), 1.0 / (s * b), 1.0 / (s * a))
+
     def _block_impl(self, qenc, xc, precision):
         return D.abdiv_blocked(
             qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], self.alpha, self.beta, precision
@@ -563,6 +586,9 @@ class L2SqrSiftSpace(DenseSpace):
             "q": jnp.asarray(_pad_cols(q)),
             "q_term": jnp.asarray(np.sum(q * q, axis=1).astype(np.float32)),
         }
+
+    def pass1_affine(self):
+        return (-2.0, 1.0, 1.0)
 
     def _block_impl(self, qenc, xc, precision):
         d = D.factored(qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0)
