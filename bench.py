@@ -1,13 +1,19 @@
 """Benchmark driver: prints ONE JSON line.
 
-Primary metric this round: exact-kNN throughput on a synthetic SIFT-1M
-style workload (1M x 128-d corpus, k=10) on one chip — BASELINE.md
-config 2 ("seq_search brute-force exact kNN ... GFLOP/s"). The baseline
-denominator is a CPU BLAS scan of the same workload measured in-process
-(an upper bound on the reference's per-pair SIMD scan, so vs_baseline
-is conservative).
+Primary metric: exact-kNN throughput on a SIFT-1M-style workload
+(1M x 128-d corpus, k=10, clustered synthetic data with realistic
+intrinsic dimensionality ~14 — eval/datasets.py) on one chip —
+BASELINE.md config 2 ("seq_search brute-force exact kNN ... GFLOP/s").
+The baseline denominator is a CPU BLAS scan of the same workload
+measured in-process (an upper bound on the reference's per-pair SIMD
+scan, so vs_baseline is conservative).
+
+Secondary metrics on stderr: HNSW build wall-clock and QPS/recall@10
+sweep on a 100k slice (BASELINE.md configs 1/3 shape; the driver records
+only the JSON line, the sweep documents the Pareto).
 
 Run: python bench.py            (real TPU chip)
+     python bench.py --quick    (small shapes, smoke test)
 """
 
 from __future__ import annotations
@@ -27,45 +33,39 @@ def _sync(x):
     return float(jnp.sum(x[0]) if isinstance(x, tuple) else jnp.sum(x))
 
 
-def bench_exact_knn(n=1_000_000, d=128, q=2048, k=10, chunk=16384, iters=5):
-    import jax
-    import jax.numpy as jnp
+def _dataset(n, d, q, seed=0):
+    from tpu_knn.eval.datasets import sift_like
 
+    x = sift_like(n + q, d, seed=seed)
+    return x[:n], x[n : n + q]
+
+
+def bench_exact_knn(n=1_000_000, d=128, q=2048, k=10, chunk=16384, iters=5):
     from tpu_knn.core.dataset import DataKind, DataStore
     from tpu_knn.core.params import Params
     from tpu_knn.core.registry import create_space
     from tpu_knn.methods.seq_search import _knn_device_twopass as _knn_device
 
-    rng = np.random.default_rng(0)
-    # SIFT-like: non-negative, clustered-ish uint8 range
-    x = (rng.random((n, d)) * 255).astype(np.float32)
-    queries = (rng.random((q, d)) * 255).astype(np.float32)
-
+    x, queries = _dataset(n, d, q)
     space = create_space("l2", Params(dim=d))
     store = DataStore(DataKind.DENSE)
     store.add_dense_batch(x)
     data = space.encode_dataset(store, row_multiple=chunk)
     qenc = space.encode_queries(queries)
 
-    # warm-up / compile
-    out = _knn_device(space, qenc, data, k, chunk, "float32")
+    out = _knn_device(space, qenc, data, k, chunk, "float32")  # compile
     _sync(out)
-
     t0 = time.perf_counter()
     for _ in range(iters):
         out = _knn_device(space, qenc, data, k, chunk, "float32")
     _sync(out)
     dt = (time.perf_counter() - t0) / iters
-    qps = q / dt
-    gflops = 2.0 * q * n * d / dt / 1e9
-    return qps, gflops, dt
+    return q / dt, 2.0 * q * n * d / dt / 1e9, dt
 
 
 def bench_cpu_baseline(n=100_000, d=128, q=256, k=10):
     """CPU BLAS equivalent of the reference's seq_search scan."""
-    rng = np.random.default_rng(1)
-    x = (rng.random((n, d)) * 255).astype(np.float32)
-    queries = (rng.random((q, d)) * 255).astype(np.float32)
+    x, queries = _dataset(n, d, q, seed=1)
     xs = (x * x).sum(1)
     t0 = time.perf_counter()
     g = queries @ x.T
@@ -76,21 +76,59 @@ def bench_cpu_baseline(n=100_000, d=128, q=256, k=10):
     return q / dt
 
 
+def bench_hnsw(n=100_000, d=128, q=2048, k=10, efs=(20, 50, 100, 200)):
+    """HNSW build wall-clock + recall-vs-QPS sweep (stderr detail)."""
+    from tpu_knn import Index, Params
+
+    x, queries = _dataset(n, d, q)
+    ex = Index("l2", Params(dim=d), method="seq_search")
+    ex.add_dense_batch(x)
+    _, gold_ids = ex.knn_query_batch(queries, k)
+
+    idx = Index("l2", Params(dim=d), method="hnsw")
+    idx.add_dense_batch(x)
+    t0 = time.perf_counter()
+    idx.build_index(Params(M=16, efConstruction=200, waveSize=1024))
+    build_s = time.perf_counter() - t0
+    rows = []
+    for ef in efs:
+        idx.set_query_time_params(Params(efSearch=ef))
+        idx.knn_query_batch(queries, k)  # compile at the real batch shape
+        t0 = time.perf_counter()
+        _, ids = idx.knn_query_batch(queries, k)
+        dt = time.perf_counter() - t0
+        rec = float(
+            np.mean([len(set(a[a >= 0]) & set(b)) / k for a, b in zip(ids, gold_ids)])
+        )
+        rows.append({"efSearch": ef, "qps": round(q / dt, 1), "recall@10": round(rec, 4)})
+    return build_s, rows
+
+
 def main():
+    quick = "--quick" in sys.argv
+    n = 100_000 if quick else 1_000_000
     cpu_qps = bench_cpu_baseline()
-    qps, gflops, dt = bench_exact_knn()
+    qps, gflops, dt = bench_exact_knn(n=n)
     result = {
         "metric": "exact_knn_qps_sift1m_synth_k10",
         "value": round(qps, 1),
-        "unit": "queries/s/chip (1M x 128d f32 exact scan)",
+        "unit": f"queries/s/chip ({n // 1000}k x 128d f32 exact scan)",
         "vs_baseline": round(qps / cpu_qps, 2),
     }
     print(json.dumps(result))
     print(
-        f"# detail: {gflops:.0f} GFLOP/s sustained, {dt*1e3:.1f} ms per 2048-query sweep, "
+        f"# exact: {gflops:.0f} GFLOP/s sustained, {dt*1e3:.1f} ms per 2048-query sweep, "
         f"cpu-blas baseline {cpu_qps:.0f} qps",
         file=sys.stderr,
     )
+    if not quick:
+        try:
+            build_s, rows = bench_hnsw()
+            print(f"# hnsw(100k, M=16, efC=200): build {build_s:.1f}s", file=sys.stderr)
+            for r in rows:
+                print(f"# hnsw {r}", file=sys.stderr)
+        except Exception as e:  # secondary metrics must not kill the primary
+            print(f"# hnsw bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -55,3 +55,24 @@ def test_sharded_hnsw_recall(setup):
     d, i = sh.knn(q, 10)
     rec = np.mean([len(set(gi[r]) & set(i[r])) / 10 for r in range(len(q))])
     assert rec >= 0.9
+
+
+def test_sharded_exact_sparse(rng):
+    """Corpus-sharded exact kNN on a sparse space (corpus_dict-generic)."""
+    mesh = make_mesh(8)
+    pts = []
+    for _ in range(512):
+        nnz = int(rng.integers(2, 12))
+        ids = np.sort(rng.choice(np.arange(1, 100), size=nnz, replace=False))
+        pts.append((ids, rng.random(nnz).astype(np.float32)))
+    space = create_space("cosinesimil_sparse")
+    store = DataStore(DataKind.SPARSE)
+    store.add_sparse_batch(pts)
+    data = space.encode_dataset(store, row_multiple=8 * 8)
+    qenc = space.encode_queries(pts[:8])
+    d, i = sharded_exact_knn(space, qenc, data, 3, mesh)
+    assert np.array_equal(np.asarray(i)[:, 0], np.arange(1, 9))  # self (1-based)
+    ex = Index("cosinesimil_sparse", method="seq_search", data_type=DataKind.SPARSE)
+    ex.add_sparse_batch(pts)
+    gd, gi = ex.knn_query_batch(pts[:8], 3)
+    np.testing.assert_array_equal(np.asarray(i), gi)

@@ -1,0 +1,53 @@
+"""Synthetic benchmark datasets.
+
+Real ANN benchmark sets (SIFT-1M, GloVe-1.2M) can't be fetched in a
+sealed environment, so benchmarks use clustered synthetic data with a
+realistic *intrinsic* dimensionality instead: uniform random 128-d data
+is near-equidistant (intrinsic dim == d, the provable worst case for
+any ANN index — recall collapses for the reference's HNSW just the
+same), while real descriptor data has intrinsic dim ~10-20
+(eval/report.py compute_intrinsic_dimensionality; Chavez et al. 2001).
+
+``sift_like`` mimics SIFT's statistics: a GMM with a few thousand
+centers on a low-dimensional latent manifold, non-negative, scaled to
+the u8 range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.rng import np_rng
+
+
+def clustered(
+    n: int,
+    d: int,
+    n_clusters: int = 1000,
+    latent_dim: int = 16,
+    noise: float = 0.15,
+    seed: int = 0,
+    dtype=np.float32,
+) -> np.ndarray:
+    """GMM on a ``latent_dim``-dimensional manifold embedded in R^d."""
+    rng = np_rng(seed)
+    basis = rng.standard_normal((latent_dim, d)).astype(np.float32) / np.sqrt(latent_dim)
+    centers_lat = rng.standard_normal((n_clusters, latent_dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    lat = centers_lat[assign] + noise * rng.standard_normal((n, latent_dim)).astype(np.float32)
+    x = lat @ basis + (noise * 0.5) * rng.standard_normal((n, d)).astype(np.float32)
+    return x.astype(dtype)
+
+
+def sift_like(n: int, d: int = 128, seed: int = 0) -> np.ndarray:
+    """Non-negative clustered f32 vectors scaled to the u8 value range,
+    mimicking SIFT descriptor statistics (sparse-ish, clustered)."""
+    x = clustered(n, d, n_clusters=max(n // 500, 64), latent_dim=16, seed=seed)
+    x = np.maximum(x - np.percentile(x, 30), 0.0)
+    mx = np.percentile(x, 99.9)
+    return np.clip(x * (255.0 / max(mx, 1e-6)), 0, 255).astype(np.float32)
+
+
+def glove_like(n: int, d: int = 100, seed: int = 0) -> np.ndarray:
+    """Zero-mean clustered vectors, GloVe-style (used with cosinesimil)."""
+    return clustered(n, d, n_clusters=max(n // 300, 64), latent_dim=24, seed=seed)

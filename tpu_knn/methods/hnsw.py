@@ -85,6 +85,24 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
 
     qe = _gather_qenc(qenc_all, jnp.clip(ids_a, 0, n_total - 1), n_total)
 
+    aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
+    if aff is not None and hasattr(rows, "ndim") and rows.ndim == 3:
+        scale, sq, sx = aff
+        g = jnp.einsum(
+            "bcd,bed->bce",
+            qe["q"],
+            rows,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        s = scale * g
+        if sq != 0.0 and "q_term" in qe:
+            s = s + sq * qe["q_term"][:, :, None]
+        if sx != 0.0 and "x_term" in extra:
+            s = s + sx * extra["x_term"][:, None, :]
+        d = space.pass1_post(s, qe) + pad[:, None, :]
+        return jnp.where(ids_a[:, :, None] < 0, INF, d)
+
     def one(qe_row, r, p, ex):
         xc = {"x": r, "pad": p}
         xc.update(ex)
@@ -285,9 +303,14 @@ class Hnsw(Method):
             beam_d = jnp.where(frozen_ok, beam_d, INF)
 
             mate_ids = jnp.broadcast_to(wave_ids[None, :], (w, w))
-            mate_d = _score_pairs(
-                space, qenc_all, n_total, corpus, wave_ids[:, None], mate_ids
-            )[:, 0, :]
+            # the mate row set is the SAME [w] rows for every wave point:
+            # one [w, ...] gather + one [w, w] block, not a w*w*D gather
+            from ..ops.graph import gather_rows
+
+            rows1, pad1, extras1 = gather_rows(corpus, wave_ids[None, :])
+            xc_wave = {"x": rows1[0], "pad": pad1[0]}
+            xc_wave.update({kk: vv[0] for kk, vv in extras1.items()})
+            mate_d = space.block(qe, xc_wave)  # [w, w]
             bad = (mate_ids == wave_ids[:, None]) | (wl[None, :] < l) | (wl[None, :] < 0)
             mate_d = jnp.where(bad, INF, mate_d)
             mneg, mpos = jax.lax.top_k(-mate_d, mates)

@@ -52,32 +52,36 @@ def sharded_exact_knn(
 ):
     """Exact kNN with the corpus sharded across ``mesh``.
 
-    ``data`` is a DenseDeviceData whose row count is divisible by the
-    mesh size (encode with row_multiple = 8 * mesh.size). Returns
-    replicated (dists[Q,k], ids[Q,k])."""
+    Works for every space: the corpus arrays come from
+    space.corpus_dict (vecs/pad/term plus space-specific keys like
+    sparse cols) and are row-sharded over the mesh axis; queries stay
+    replicated. ``data``'s row count must be divisible by the mesh size
+    (encode with row_multiple = 8 * mesh.size). Returns replicated
+    (dists[Q,k], ids[Q,k])."""
+    corpus = space.corpus_dict(data)
 
-    def local(qenc_l, vecs, pad, term, ids_l):
-        # spaces that don't use a row term simply ignore the extra key
-        xc = {"x": vecs, "pad": pad, "x_term": term}
+    def local(qenc_l, corpus_l, ids_l):
+        xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}
+        if corpus_l.get("term") is not None:
+            xc["x_term"] = corpus_l["term"]
+        for key, arr in corpus_l.items():
+            if key not in ("vecs", "pad", "term"):
+                xc[key] = arr
         dk, ids = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
         return merge_sharded_topk(dk, ids, k, axis)
 
-    term = data.row_term
-    term_arg = term if term is not None else jnp.zeros((data.ids.shape[0],), jnp.float32)
     f = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(), qenc),
-            P(axis),
-            P(axis),
-            P(axis),
+            jax.tree_util.tree_map(lambda _: P(axis), corpus),
             P(axis),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return f(qenc, data.vecs, data.extra["pad"], term_arg, data.ids)
+    return f(qenc, corpus, data.ids)
 
 
 def merge_sharded_topk(dists, ids, k: int, axis: str = SHARD_AXIS):

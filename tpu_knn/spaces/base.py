@@ -63,11 +63,18 @@ class Space:
         """If the distance is affine-monotone in the factored matmul —
         order(dist) == order(scale*<q,x> + sq*q_term + sx*x_term) — return
         (scale, sq, sx) so the fused Pallas group-min kernel
-        (ops/pallas_scan.py) can run pass 1 of the exact two-pass scan.
-        Monotone post-transforms (sqrt, arccos∘neg) are dropped: pass 1
-        only selects candidates, pass 2 re-scores with block(). Return
-        None when the distance doesn't factor this way."""
+        (ops/pallas_scan.py) can run pass 1 of the exact two-pass scan and
+        gather-based scoring can use one batched einsum (ops/graph.py
+        score_gathered). Monotone post-transforms (sqrt, arccos∘neg) are
+        dropped for candidate *selection*; :meth:`pass1_post` maps the
+        affine surrogate back to the true distance. Return None when the
+        distance doesn't factor this way."""
         return None
+
+    def pass1_post(self, s, qenc):
+        """Map the affine surrogate of :meth:`pass1_affine` to the true
+        distance (e.g. sqrt for l2). Must be exact, not just monotone."""
+        return s
 
     # -- graph-search support (ops/graph.py, methods/hnsw.py) --
     def corpus_dict(self, data) -> dict:

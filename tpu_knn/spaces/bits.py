@@ -51,6 +51,9 @@ class BitHammingSpace(BitSpaceBase):
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0)
 
+    def pass1_post(self, s, qenc):
+        return jnp.maximum(s, 0.0)
+
     def _block_impl(self, qenc, xc, precision):
         d = D.factored(
             qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0, precision=precision

@@ -163,6 +163,9 @@ class LpSpaceBase(DenseSpace):
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0) if self.p == 2.0 else None
 
+    def pass1_post(self, s, qenc):
+        return jnp.sqrt(jnp.maximum(s, 0.0))
+
     def _block_impl(self, qenc, xc, precision):
         if self.p == 2.0:
             d2 = D.factored(
@@ -231,6 +234,9 @@ class CosineSpace(DenseSpace):
     def pass1_affine(self):
         return (-1.0, 0.0, 0.0)
 
+    def pass1_post(self, s, qenc):
+        return jnp.maximum(0.0, 1.0 + s)
+
     def _transform_x(self, v):
         return _normalize_rows(v)
 
@@ -247,6 +253,9 @@ class AngularSpace(DenseSpace):
 
     def pass1_affine(self):
         return (-1.0, 0.0, 0.0)
+
+    def pass1_post(self, s, qenc):
+        return jnp.arccos(jnp.clip(-s, -1.0, 1.0))
 
     def _transform_x(self, v):
         return _normalize_rows(v)
@@ -382,6 +391,9 @@ class ItakuraSaitoSpace(DenseSpace):
 
     def pass1_affine(self):
         return (1.0, 1.0, 1.0)
+
+    def pass1_post(self, s, qenc):
+        return s - qenc["_dim"]
 
     def _block_impl(self, qenc, xc, precision):
         g = D.matmul(qenc["q"], xc["x"], precision)
@@ -589,6 +601,9 @@ class L2SqrSiftSpace(DenseSpace):
 
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0)
+
+    def pass1_post(self, s, qenc):
+        return jnp.maximum(s, 0.0)
 
     def _block_impl(self, qenc, xc, precision):
         d = D.factored(qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0)
