@@ -87,14 +87,10 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
 
     aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
     if aff is not None and hasattr(rows, "ndim") and rows.ndim == 3:
+        from ..ops.distance import pair_dot
+
         scale, sq, sx = aff
-        g = jnp.einsum(
-            "bcd,bed->bce",
-            qe["q"],
-            rows,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        g = pair_dot(qe["q"], rows)
         s = scale * g
         if sq != 0.0 and "q_term" in qe:
             s = s + sq * qe["q_term"][:, :, None]

@@ -92,6 +92,47 @@ def factored(
     return post(g) if post is not None else g
 
 
+def batched_dot(q: jax.Array, rows: jax.Array) -> jax.Array:
+    """<q_b, rows_bk> as f32[B, K]. int8 inputs take the MXU int8 path
+    with exact i32 accumulation (the l2sqr_sift fast path); float inputs
+    use f32-HIGHEST."""
+    if q.dtype == jnp.int8:
+        g = jax.lax.dot_general(
+            q,
+            rows,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        return g.astype(jnp.float32)
+    return jnp.einsum(
+        "bd,bkd->bk",
+        q,
+        rows,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def pair_dot(qa: jax.Array, rows: jax.Array) -> jax.Array:
+    """<qa_bc, rows_be> as f32[B, C, E] (same dtype dispatch as
+    :func:`batched_dot`)."""
+    if qa.dtype == jnp.int8:
+        g = jax.lax.dot_general(
+            qa,
+            rows,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        return g.astype(jnp.float32)
+    return jnp.einsum(
+        "bcd,bed->bce",
+        qa,
+        rows,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------- concrete factored families ----------------
 
 

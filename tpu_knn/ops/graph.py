@@ -89,14 +89,10 @@ def score_gathered(space, qenc: dict, rows, pad, extra_sl: dict) -> jax.Array:
     fallback for merge/DP-style distances."""
     aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
     if aff is not None and hasattr(rows, "dtype") and rows.ndim == 3:
+        from .distance import batched_dot
+
         scale, sq, sx = aff
-        g = jnp.einsum(
-            "bd,bkd->bk",
-            qenc["q"],
-            rows,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        g = batched_dot(qenc["q"], rows)
         s = scale * g
         if sq != 0.0 and "q_term" in qenc:
             s = s + sq * qenc["q_term"][:, None]

@@ -28,13 +28,22 @@ GROUP = 128
 
 
 def _kernel(q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc: int):
-    g = jax.lax.dot_general(
-        q_ref[:],
-        x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if q_ref.dtype == jnp.int8:
+        # MXU int8 path (l2sqr_sift): exact i32 accumulation, ~4x f32 rate
+        g = jax.lax.dot_general(
+            q_ref[:],
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        g = jax.lax.dot_general(
+            q_ref[:],
+            x_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     d = scale * g + qt_ref[0, :][:, None] + xt_ref[0, :][None, :]
     mins = jnp.min(d.reshape(tq, tc // GROUP, GROUP), axis=2)  # [tq, tc/128]
     # output is laid out [groups, queries]: a [tc/128, tq] block keeps the

@@ -562,51 +562,82 @@ class RenyiDivSlow(RenyiDivSpace):
 @register_space("l2sqr_sift")
 class L2SqrSiftSpace(DenseSpace):
     """Exact integer squared-L2 over uint8[128] descriptors (reference:
-    space_l2sqr_sift.cc:136-150, distcomp_l2sqr_sift.cc:41-151). Uses the
-    same norm identity; f32 accumulation is exact here (values bounded by
-    128 * 255^2 < 2^24)."""
+    space_l2sqr_sift.cc:136-150, distcomp_l2sqr_sift.cc:41-151).
+
+    MXU int8 path: the u8 values shift to int8 (a = x - 128) so the dot
+    runs on the int8 systolic array (exact i32 accumulation, ~4x the f32
+    matmul rate). With sa = sum(a) per row:
+
+        <x, y> = <a_x, a_y> + 128(sa_x + sa_y) + 16384*d
+        |x-y|^2 = (|x|^2 - 256 sa_x) + (|y|^2 - 256 sa_y)
+                  - 2<a_x, a_y> - 32768*d
+
+    so the affine factored form holds with q/x terms |.|^2 - 256*sa and
+    the constant -32768*d applied in pass1_post. All quantities are
+    < 2^24, exact in f32."""
 
     name = "l2sqr_sift"
     data_kind = DataKind.UINT8
     dist_kind = DistKind.INT
     np_dtype = np.uint8
 
+    def _encode_mat(self, mat: np.ndarray):
+        fm = mat.astype(np.float32)
+        a = (mat.astype(np.int16) - 128).astype(np.int8)
+        term = (np.sum(fm * fm, axis=1) - 256.0 * np.sum(fm - 128.0, axis=1)).astype(
+            np.float32
+        )
+        return a, term
+
     def encode_dataset(self, store: DataStore, row_multiple: int = 8):
         mat = store.dense_matrix()  # uint8
         if mat.shape[0] and mat.shape[1] != 128:
             raise InvalidArgumentError("l2sqr_sift requires 128-byte descriptors")
-        fm = mat.astype(np.float32)
-        store_f = store  # ids etc.
-        n, dim = fm.shape
+        n, dim = mat.shape if mat.ndim == 2 else (0, 128)
         n_pad = round_up(max(n, 1), row_multiple)
-        x = _pad_rows(_pad_cols(fm), n_pad)
-        x_sq = _pad_rows(np.sum(fm * fm, axis=1).astype(np.float32), n_pad)
+        a, term = self._encode_mat(mat if n else np.zeros((0, 128), np.uint8))
+        x = _pad_rows(a, n_pad)  # int8; padding rows = 0 (masked by pad term)
+        x_term = _pad_rows(term, n_pad)
         pad = np.zeros(n_pad, np.float32)
         pad[n:] = PAD_TERM
-        ids = _pad_ids(np.asarray(store_f.ids, np.int32).reshape(-1), n_pad)
+        ids = _pad_ids(np.asarray(store.ids, np.int32).reshape(-1), n_pad)
         data = DenseDeviceData(
-            vecs=jnp.asarray(x), ids=jnp.asarray(ids), count=n, dim=dim, row_term=jnp.asarray(x_sq)
+            vecs=jnp.asarray(x), ids=jnp.asarray(ids), count=n, dim=max(dim, 128),
+            row_term=jnp.asarray(x_term),
         )
         data.extra["pad"] = jnp.asarray(pad)
         return data
 
     def encode_queries(self, points):
-        q = np.asarray(points, dtype=np.float32)
+        q = np.asarray(points, dtype=np.uint8)
         if q.ndim == 1:
             q = q[None, :]
+        a, term = self._encode_mat(q)
         return {
-            "q": jnp.asarray(_pad_cols(q)),
-            "q_term": jnp.asarray(np.sum(q * q, axis=1).astype(np.float32)),
+            "q": jnp.asarray(a),
+            "q_term": jnp.asarray(term),
+            "_dimconst": jnp.float32(32768.0 * q.shape[1]),
         }
 
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0)
 
     def pass1_post(self, s, qenc):
-        return jnp.maximum(s, 0.0)
+        return jnp.maximum(s - qenc["_dimconst"], 0.0)
 
     def _block_impl(self, qenc, xc, precision):
-        d = D.factored(qenc["q"], xc["x"], qenc["q_term"], xc["x_term"], scale=-2.0)
+        g = jax.lax.dot_general(
+            qenc["q"],
+            xc["x"],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        d = (
+            qenc["q_term"][:, None]
+            + xc["x_term"][None, :]
+            - 2.0 * g
+            - qenc["_dimconst"]
+        )
         return jnp.maximum(d, 0.0)
 
 
