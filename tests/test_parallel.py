@@ -76,3 +76,21 @@ def test_sharded_exact_sparse(rng):
     ex.add_sparse_batch(pts)
     gd, gi = ex.knn_query_batch(pts[:8], 3)
     np.testing.assert_array_equal(np.asarray(i), gi)
+
+
+def test_sharded_hnsw_sparse(rng):
+    """Per-shard HNSW over a sparse corpus (corpus_dict-generic stack)."""
+    mesh = make_mesh(8)
+    pts = []
+    for _ in range(256):
+        nnz = int(rng.integers(2, 10))
+        ids = np.sort(rng.choice(np.arange(1, 80), size=nnz, replace=False))
+        pts.append((ids, rng.random(nnz).astype(np.float32)))
+    space = create_space("cosinesimil_sparse")
+    store = DataStore(DataKind.SPARSE)
+    store.add_sparse_batch(pts)
+    sh = ShardedHnsw(space, mesh, Params(M=6, efConstruction=20, waveSize=16))
+    sh.build(store)
+    sh.set_query_time_params(Params(efSearch=30))
+    d, i = sh.knn(pts[:8], 3)
+    assert np.array_equal(i[:, 0], np.arange(1, 9))  # self hits (1-based ids)

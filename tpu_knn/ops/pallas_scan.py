@@ -51,15 +51,16 @@ def _kernel(q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc:
     out_ref[:] = mins.T
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "tq", "tc"))
+@functools.partial(jax.jit, static_argnames=("scale", "tq", "tc", "interpret"))
 def fused_groupmin(
-    q: jax.Array,  # f32[Q, D] (D multiple of 128)
-    x: jax.Array,  # f32[N, D] (N multiple of tc)
+    q: jax.Array,  # f32/int8[Q, D] (D multiple of 128)
+    x: jax.Array,  # f32/int8[N, D] (N multiple of tc)
     q_term: jax.Array,  # f32[Q] (zeros if unused)
     x_term: jax.Array,  # f32[N] (+inf/1e30 on padding rows)
     scale: float,
     tq: int = 256,
     tc: int = 2048,
+    interpret: bool = False,  # CPU-testable interpreter mode
 ) -> jax.Array:
     """Group mins f32[Q, N/128] of the factored distance block."""
     qn, d = q.shape
@@ -87,6 +88,7 @@ def fused_groupmin(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=(qn + n) * d * 4, transcendentals=0
         ),
+        interpret=interpret,
     )(q, x, q_term[None, :], x_term[None, :])
     return out.T  # [Q, N/128]
 

@@ -2,8 +2,9 @@
 
 The TPU-native scale-out of SURVEY.md §7 step 9: the corpus is split
 into equal shards, each shard gets its own HNSW built by the wave
-builder (methods/hnsw.py), the per-shard graphs and encoded data are
-stacked on a leading shard axis, and a query batch runs the batched
+builder (methods/hnsw.py), the per-shard graphs and encoded corpus
+arrays (space.corpus_dict — generic over dense/sparse/string layouts)
+are stacked on a leading shard axis, and a query batch runs the batched
 beam search on every shard simultaneously under shard_map, with one
 all_gather + top-k merge over ICI at the end.
 
@@ -23,9 +24,9 @@ import numpy as np
 
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.dataset import DataStore
+from ..core.dataset import DataKind, DataStore
 from ..core.params import Params
-from ..methods.hnsw import Hnsw, _corpus_dict
+from ..methods.hnsw import Hnsw
 from ..ops import graph as G
 from .mesh import SHARD_AXIS
 from .sharded import merge_sharded_topk
@@ -36,6 +37,22 @@ def _pad_rows_to(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
         return a
     pad = jnp.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
     return jnp.concatenate([a, pad], axis=0)
+
+
+def _subset_store(store: DataStore, lo: int, hi: int) -> DataStore:
+    sub = DataStore(store.kind)
+    ids = store.ids[lo:hi]
+    if store.kind in (DataKind.DENSE, DataKind.UINT8):
+        mat = store.dense_matrix()[lo:hi]
+        if store.kind is DataKind.DENSE:
+            sub.add_dense_batch(mat, ids)
+        else:
+            sub.add_uint8_batch(mat, ids)
+    elif store.kind is DataKind.SPARSE:
+        sub.add_sparse_batch(store.sparse_points()[lo:hi], ids)
+    else:
+        sub.add_string_batch(store.strings()[lo:hi], ids)
+    return sub
 
 
 class ShardedHnsw:
@@ -59,45 +76,39 @@ class ShardedHnsw:
         per = (n + s - 1) // s
         shards: list[Hnsw] = []
         for si in range(s):
-            sub = DataStore(store.kind)
             lo, hi = si * per, min((si + 1) * per, n)
-            ids = store.ids[lo:hi]
-            if store.kind.value == "dense_vector":
-                sub.add_dense_batch(store.dense_matrix()[lo:hi], ids)
-            elif store.kind.value == "dense_uint8_vector":
-                sub.add_uint8_batch(store.dense_matrix()[lo:hi], ids)
-            else:
-                raise NotImplementedError("sharded hnsw: dense kinds only for now")
             h = Hnsw(self.space, self.params)
-            h.create_index(sub)
+            h.create_index(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)
 
     def _stack(self, shards: list[Hnsw]) -> None:
         n_pad = max(h.data.ids.shape[0] for h in shards)
         max_lv = max(len(h._upper) for h in shards)
-        vecs, ids, pad, term, lvl0 = [], [], [], [], []
-        uppers: list[list] = [[] for _ in range(max_lv)]
+        m = shards[0].maxM
         u_rows = [
             max((h._upper[l].shape[0] if l < len(h._upper) else 1) for h in shards)
             for l in range(max_lv)
         ]
-        m = shards[0].maxM
+        corpus_keys = None
+        corpus_stacks: dict[str, list] = {}
+        ids, lvl0 = [], []
+        uppers: list[list] = [[] for _ in range(max_lv)]
         for h in shards:
-            vecs.append(_pad_rows_to(h.data.vecs, n_pad, 0))
+            c = self.space.corpus_dict(h.data)
+            if corpus_keys is None:
+                corpus_keys = [k for k, v in c.items() if v is not None]
+            for k in corpus_keys:
+                fill = 1e30 if k == "pad" else 0
+                corpus_stacks.setdefault(k, []).append(_pad_rows_to(c[k], n_pad, fill))
             ids.append(_pad_rows_to(h.data.ids, n_pad, -1))
-            pad.append(_pad_rows_to(h.data.extra["pad"], n_pad, 1e30))
-            if h.data.row_term is not None:
-                term.append(_pad_rows_to(h.data.row_term, n_pad, 0))
             lvl0.append(_pad_rows_to(h.graph["level0"], n_pad, -1))
             for l in range(max_lv):
                 u = h._upper[l] if l < len(h._upper) else jnp.full((1, m), -1, jnp.int32)
                 uppers[l].append(_pad_rows_to(u, u_rows[l], -1))
         self._stacked = {
-            "vecs": jnp.stack(vecs),
+            "corpus": {k: jnp.stack(v) for k, v in corpus_stacks.items()},
             "ids": jnp.stack(ids),
-            "pad": jnp.stack(pad),
-            "term": jnp.stack(term) if term else None,
             "level0": jnp.stack(lvl0),
             "upper": tuple(jnp.stack(u) for u in uppers),
         }
@@ -108,10 +119,9 @@ class ShardedHnsw:
 
         sh = NamedSharding(self.mesh, P(self.axis))
         st = self._stacked
-        for k in ("vecs", "ids", "pad", "level0"):
-            st[k] = jax.device_put(st[k], sh)
-        if st["term"] is not None:
-            st["term"] = jax.device_put(st["term"], sh)
+        st["corpus"] = {k: jax.device_put(v, sh) for k, v in st["corpus"].items()}
+        st["ids"] = jax.device_put(st["ids"], sh)
+        st["level0"] = jax.device_put(st["level0"], sh)
         st["upper"] = tuple(jax.device_put(u, sh) for u in st["upper"])
 
     # ---------------- search ----------------
@@ -128,7 +138,7 @@ class ShardedHnsw:
         ef = max(self.ef_search, k)
         st = self._stacked
         d, ids = _sharded_search(
-            self.space, qenc, st["vecs"], st["ids"], st["pad"], st["term"],
+            self.space, qenc, st["corpus"], st["ids"],
             st["level0"], st["upper"], ef, k, self.expand, self.mesh, self.axis,
         )
         d = np.asarray(d)
@@ -141,16 +151,13 @@ class ShardedHnsw:
     jax.jit,
     static_argnames=("space", "ef", "k", "expand", "mesh", "axis"),
 )
-def _sharded_search(space, qenc, vecs, ids, pad, term, level0, upper, ef, k, expand,
+def _sharded_search(space, qenc, corpus_st, ids, level0, upper, ef, k, expand,
                     mesh, axis):
-    if term is None:
-        term = jnp.zeros(vecs.shape[:2], jnp.float32)
-
-    def local(qenc_l, vecs, ids_l, pad, term, level0, upper):
+    def local(qenc_l, corpus_l, ids_l, level0, upper):
         # strip the leading local-shard axis of size 1
-        vecs, ids_l, pad, level0 = vecs[0], ids_l[0], pad[0], level0[0]
+        corpus = {kk: v[0] for kk, v in corpus_l.items()}
+        ids_one, level0 = ids_l[0], level0[0]
         upper = tuple(u[0] for u in upper)
-        corpus = {"vecs": vecs, "pad": pad, "term": term[0]}
         b = next(v.shape[0] for v in qenc_l.values() if hasattr(v, "ndim") and v.ndim >= 1)
         cur = jnp.zeros(b, jnp.int32)
         cur_d = G.score_rows(space, qenc_l, corpus, cur[:, None])[:, 0]
@@ -160,12 +167,12 @@ def _sharded_search(space, qenc, vecs, ids, pad, term, level0, upper, ef, k, exp
             space, qenc_l, corpus, level0, None, cur, ef=ef, expand=expand
         )
         d, pos = beam_d[:, :k], beam_i[:, :k]
-        out_ids = jnp.where(pos >= 0, ids_l[jnp.clip(pos, 0, ids_l.shape[0] - 1)], -1)
+        out_ids = jnp.where(pos >= 0, ids_one[jnp.clip(pos, 0, ids_one.shape[0] - 1)], -1)
         return merge_sharded_topk(d, out_ids, k, axis)
 
     specs = (
         jax.tree_util.tree_map(lambda _: P(), qenc),
-        P(axis), P(axis), P(axis),
+        jax.tree_util.tree_map(lambda _: P(axis), corpus_st),
         P(axis),
         P(axis),
         tuple(P(axis) for _ in upper),
@@ -173,4 +180,4 @@ def _sharded_search(space, qenc, vecs, ids, pad, term, level0, upper, ef, k, exp
     f = jax.shard_map(
         local, mesh=mesh, in_specs=specs, out_specs=(P(), P()), check_vma=False
     )
-    return f(qenc, vecs, ids, pad, term, level0, upper)
+    return f(qenc, corpus_st, ids, level0, upper)
