@@ -119,6 +119,13 @@ class Napp(Method):
         self._prefix = None
 
     def set_query_time_params(self, params: Params | None) -> None:
+        if params is None:
+            # ResetQueryTimeParams (pivot_neighb_invindx.cc defaults)
+            self.num_prefix_search = self.num_prefix
+            self.min_times = 2
+            self.skip_checking = False
+            super().set_query_time_params(None)
+            return
         pm = ParamManager(Params.of(params))
         self.num_prefix_search = pm.get("numPrefixSearch", self.num_prefix_search, int)
         self.min_times = pm.get("minTimes", self.min_times, int)

@@ -80,6 +80,7 @@ class SmallWorldRand(Hnsw):
         self.nn = nn
         # query-time default efSearch = NN (reference: small_world_rand.cc:366-427)
         self.ef_search = nn
+        self.DEFAULT_EF_SEARCH = nn
         self._deleted: np.ndarray | None = None
 
     def _sample_levels(self, n: int, rng) -> np.ndarray:

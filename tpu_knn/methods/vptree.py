@@ -206,6 +206,13 @@ class VPTree(Method):
         self._tree = None
 
     def set_query_time_params(self, params: Params | None) -> None:
+        if params is None:
+            # ResetQueryTimeParams: pruner defaults are all 1 (searchoracle.h)
+            self.alpha_left = self.alpha_right = 1.0
+            self.exp_left = self.exp_right = 1.0
+            self.max_leaves = 1 << 30
+            super().set_query_time_params(None)
+            return
         pm = ParamManager(Params.of(params))
         self.alpha_left = pm.get("alphaLeft", self.alpha_left, float)
         self.alpha_right = pm.get("alphaRight", self.alpha_right, float)
