@@ -43,11 +43,12 @@ def _np_distances(space_name, q, x, p=None, alpha=None, beta=None):
     if space_name == "itakurasaitofastrq":
         a, b = x[None, :, :], q[:, None, :]
         return (a / b - np.log(a / b) - 1).sum(-1)
-    if space_name == "js_div_slow":
+    if space_name in ("js_div_slow", "jsmetrfast"):
         a, b = q[:, None, :], x[None, :, :]
         m = 0.5 * (a + b)
         t = lambda v: np.where(v > 0, v * np.log(np.maximum(v, 1e-38) / m), 0.0)
-        return 0.5 * (t(a) + t(b)).sum(-1)
+        js = 0.5 * (t(a) + t(b)).sum(-1)
+        return np.sqrt(np.maximum(js, 0)) if space_name == "jsmetrfast" else js
     if space_name == "renyidiv_fast":
         a, b = q[:, None, :], x[None, :, :]
         return np.log((a**alpha * b ** (1 - alpha)).sum(-1)) / (alpha - 1)
@@ -74,6 +75,7 @@ DENSE_SPACES = [
     ("itakurasaitofast", {}),
     ("itakurasaitofastrq", {}),
     ("js_div_slow", {}),
+    ("jsmetrfast", {}),
     ("renyidiv_fast", {"alpha": 0.75}),
     ("abdiv_fast", {"alpha": 1.2, "beta": 0.7}),
 ]
