@@ -191,18 +191,24 @@ def beam_search(
     k_cand = expand * m
     if max_iters is None:
         max_iters = max(2 * ((ef + expand - 1) // expand) + 4, 8)
+    # carry the beam at the 128-lane width: ops on narrow [B, ef] arrays
+    # waste most of each VPU register row and trigger relayouts inside the
+    # while_loop; columns >= ef are masked INF so the semantics are exactly
+    # a beam of ef
+    ef_pad = max(ef, 128) if ef < 128 else ef
 
     entry_d = score_rows(space, qenc, corpus, entry[:, None])[:, 0]
-    beam_d = jnp.full((b, ef), INF).at[:, 0].set(entry_d)
-    beam_i = jnp.full((b, ef), NEG1).at[:, 0].set(entry)
-    expanded = jnp.zeros((b, ef), bool)
+    beam_d = jnp.full((b, ef_pad), INF).at[:, 0].set(entry_d)
+    beam_i = jnp.full((b, ef_pad), NEG1).at[:, 0].set(entry)
+    expanded = jnp.zeros((b, ef_pad), bool)
     rows = jnp.arange(b)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, ef_pad), 1)
 
     def cond(state):
         beam_d, beam_i, expanded, it, ndist = state
         unexp_d = jnp.where(expanded | (beam_i < 0), INF, beam_d)
         frontier_best = jnp.min(unexp_d, axis=1)
-        worst = beam_d[:, -1]
+        worst = jnp.max(jnp.where(lane < ef, beam_d, -INF), axis=1)
         # classic HNSW stop rule, plus "frontier exhausted" cutoff
         active = (frontier_best <= worst) & (frontier_best < INF)
         return jnp.logical_and(jnp.any(active), it < max_iters)
@@ -240,11 +246,15 @@ def beam_search(
         all_i = jnp.concatenate([beam_i, cand], axis=1)
         all_e = jnp.concatenate([expanded2, jnp.zeros((b, k_cand), bool)], axis=1)
         sd, si, se = jax.lax.sort((all_d, all_i, all_e.astype(jnp.int32)), num_keys=1)
-        return sd[:, :ef], si[:, :ef], se[:, :ef].astype(bool), it + 1, ndist
+        sd, si, se = sd[:, :ef_pad], si[:, :ef_pad], se[:, :ef_pad].astype(bool)
+        # mask out slots beyond the logical beam width
+        sd = jnp.where(lane < ef, sd, INF)
+        si = jnp.where(lane < ef, si, NEG1)
+        return sd, si, se, it + 1, ndist
 
     state = (beam_d, beam_i, expanded, jnp.int32(0), jnp.int32(0))
     beam_d, beam_i, expanded, _, ndist = jax.lax.while_loop(cond, body, state)
-    return beam_d, beam_i, ndist
+    return beam_d[:, :ef], beam_i[:, :ef], ndist
 
 
 # ---------------- neighbor-selection heuristic ----------------
