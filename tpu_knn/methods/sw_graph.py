@@ -60,6 +60,7 @@ class SmallWorldRand(Hnsw):
         wave = pm.get("waveSize", 256, int)
         wave_mates = pm.get("waveMates", 8, int)
         expand = pm.get("searchExpand", 4, int)
+        c_expand = pm.get("constructionExpand", 16, int)
         seed = pm.get("seed", 0, int)
         delaunay = pm.get("delaunay_type", 2, int)
         pm.check_unused()
@@ -74,6 +75,7 @@ class SmallWorldRand(Hnsw):
                 waveSize=wave,
                 waveMates=wave_mates,
                 searchExpand=expand,
+                constructionExpand=c_expand,
                 seed=seed,
             ),
         )
