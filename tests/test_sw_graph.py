@@ -73,3 +73,18 @@ def test_sw_graph_delete_then_add(rng):
     d, ids = idx.knn_query_batch(x[2:6], 2)
     assert np.all(ids[:, 0] == np.arange(2, 6))
     assert not np.isin(ids, [0, 1]).any()
+
+
+def test_sw_graph_persistence_with_deletions(tmp_path, rng):
+    """Deleted-state round trip (sw state_arrays carries the mask)."""
+    x = _data(rng, 60)
+    idx = Index("l2", Params(dim=16), method="sw-graph")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(NN=6, efConstruction=30, waveSize=16))
+    idx.delete_batch([3, 7], strategy="neighbors_only")
+    p = str(tmp_path / "sw")
+    idx.save(p)
+    idx2 = Index.load(p)
+    assert idx2.method.data_qty() == 58
+    d, ids = idx2.knn_query_batch(x[:20], 4)
+    assert not np.isin(ids, [3, 7]).any()
