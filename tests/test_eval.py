@@ -120,3 +120,21 @@ def test_intrinsic_dimensionality(rng):
     assert r["dist_mean"] > 0 and r["dist_sigma"] > 0
     tbl = format_table([{"recall": 0.95, "qps": 1234.5}, {"recall": 0.9, "qps": 2000.0}])
     assert "recall" in tbl and "1234" in tbl
+
+
+def test_class_accuracy_in_experiments(rng):
+    # two well-separated gaussian classes: majority label must match
+    a = rng.standard_normal((60, 6)).astype(np.float32)
+    b = rng.standard_normal((60, 6)).astype(np.float32) + 12.0
+    x = np.concatenate([a, b])
+    labels = [0] * 60 + [1] * 60
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x, labels=labels)
+    space = create_space("l2", Params(dim=6))
+    method = create_method("seq_search", space, Params())
+    method.create_index(store)
+    from tpu_knn.eval import Experiments
+
+    ex = Experiments(space, store, x[:20], k=5)
+    rows = ex.run(method, [None])
+    assert rows[0]["class_accuracy"] == pytest.approx(1.0)

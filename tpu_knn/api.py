@@ -121,10 +121,15 @@ class Index:
 
     # ---------------- insertion (deferred; lib.zig:625-681) ----------------
 
-    def add_dense_batch(self, vectors: Any, ids: Sequence[int] | None = None) -> None:
+    def add_dense_batch(
+        self,
+        vectors: Any,
+        ids: Sequence[int] | None = None,
+        labels: Sequence[int] | None = None,
+    ) -> None:
         self._check_dim(np.asarray(vectors))
         old = len(self.store)
-        self.store.add_dense_batch(vectors, ids)
+        self.store.add_dense_batch(vectors, ids, labels)
         self._mark_dirty(old)
 
     def add_sparse_batch(self, points, ids: Sequence[int] | None = None) -> None:

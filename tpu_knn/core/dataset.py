@@ -72,7 +72,12 @@ class DataStore:
 
     # ---------------- insertion ----------------
 
-    def add_dense_batch(self, vectors: Any, ids: Sequence[int] | None = None) -> None:
+    def add_dense_batch(
+        self,
+        vectors: Any,
+        ids: Sequence[int] | None = None,
+        labels: Sequence[int] | None = None,
+    ) -> None:
         if self.kind is not DataKind.DENSE:
             raise InvalidArgumentError(f"store holds {self.kind}, not dense")
         arr = np.asarray(vectors, dtype=np.float32)
@@ -83,7 +88,7 @@ class DataStore:
         self._check_dim(arr.shape[1])
         start = len(self._dense)
         self._dense.extend(list(arr))
-        self._assign_ids(arr.shape[0], start, ids, one_based=False)
+        self._assign_ids(arr.shape[0], start, ids, one_based=False, labels=labels)
 
     def add_uint8_batch(self, vectors: Any, ids: Sequence[int] | None = None) -> None:
         if self.kind is not DataKind.UINT8:
@@ -179,7 +184,14 @@ class DataStore:
         elif self._dim != d:
             raise InvalidArgumentError(f"dim mismatch: store has {self._dim}, batch has {d}")
 
-    def _assign_ids(self, n: int, start: int, ids: Sequence[int] | None, one_based: bool) -> None:
+    def _assign_ids(
+        self,
+        n: int,
+        start: int,
+        ids: Sequence[int] | None,
+        one_based: bool,
+        labels: Sequence[int] | None = None,
+    ) -> None:
         if ids is not None:
             if len(ids) != n:
                 raise InvalidArgumentError("ids length must match batch size")
@@ -187,7 +199,16 @@ class DataStore:
         else:
             base = 1 if one_based else 0
             self.ids.extend(range(start + base, start + base + n))
-        self.labels.extend([-1] * n)
+        if labels is not None:
+            if len(labels) != n:
+                raise InvalidArgumentError("labels length must match batch size")
+            self.labels.extend(int(x) for x in labels)
+        else:
+            self.labels.extend([-1] * n)
+
+    def label_of_id(self) -> dict[int, int]:
+        """object id -> label map (Object::label analog, object.h)."""
+        return dict(zip(self.ids, self.labels))
 
 
 # ---------------- device-side encoded forms ----------------

@@ -80,6 +80,11 @@ class Experiments:
         self.gold = GoldStandard(space, index_store)
         self.exact_d, self.exact_ids = self.gold.compute_knn(queries, k)
         self.n = len(index_store)
+        self._labels = (
+            index_store.label_of_id()
+            if any(l != -1 for l in index_store.labels)
+            else None
+        )
 
     def run(self, method, query_param_sets: list[Params | dict | None], warmup: bool = True):
         """Returns one result row (dict) per query-time param set."""
@@ -96,6 +101,13 @@ class Experiments:
             dc = getattr(method, "dist_comps", 0) - dc0
             m = per_query_metrics(self.exact_d, self.exact_ids, ad, aids)
             row = summarize(m)
+            if self._labels is not None:
+                from .metrics import class_accuracy
+
+                lab = np.vectorize(lambda i: self._labels.get(int(i), -1))
+                row["class_accuracy"] = float(
+                    np.mean(class_accuracy(lab(self.exact_ids), lab(aids)))
+                )
             row["qps"] = nq / dt
             row["query_time_ms"] = dt * 1e3 / nq
             # improvement in dist comps vs the sequential scan (query.h:33,
