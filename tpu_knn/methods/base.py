@@ -39,6 +39,28 @@ class Method:
         self.query_params = Params()
         self.data = None  # encoded corpus
         self.store: DataStore | None = None
+        self._dc_base = 0
+        self._dc_pending: list = []
+
+    # -- distance-computation counter (reference: query.h:33) --
+    # Converting the device scalar eagerly would force a blocking
+    # host-device sync on EVERY query call (profiled: ~40% of query wall
+    # time over a remote link); counts are accumulated as device scalars
+    # and only materialized when the counter is read.
+    @property
+    def dist_comps(self) -> int:
+        if self._dc_pending:
+            self._dc_base += sum(int(x) for x in self._dc_pending)
+            self._dc_pending.clear()
+        return self._dc_base
+
+    @dist_comps.setter
+    def dist_comps(self, v) -> None:
+        self._dc_base = int(v)
+        self._dc_pending.clear()
+
+    def _add_dist_comps(self, nd) -> None:
+        self._dc_pending.append(nd)
 
     # -- lifecycle --
     def create_index(self, store: DataStore, params: Params | None = None) -> None:

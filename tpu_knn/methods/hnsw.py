@@ -164,7 +164,6 @@ class Hnsw(Method):
         self._upper: list = []
         self.levels = None
         self.order = None
-        self.dist_comps = 0
 
     # ---------------- query-time params ----------------
 
@@ -453,7 +452,7 @@ class Hnsw(Method):
             self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
             jnp.int32(self._entry), ef, k, self.expand,
         )
-        self.dist_comps += int(nd)
+        self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
 
     def range(self, points, radius):

@@ -67,7 +67,6 @@ class SimpleInvIndex(Method):
         pm = ParamManager(self.index_params)
         pm.get("dummyParam", 0, int)  # the reference's only index param
         pm.check_unused()
-        self.dist_comps = 0
 
     def set_query_time_params(self, params: Params | None) -> None:
         pm = ParamManager(Params.of(params))
@@ -88,5 +87,5 @@ class SimpleInvIndex(Method):
             raise IndexNotBuiltError("simple_invindx: index not built")
         qenc = self.space.encode_queries(points)
         d, ids, nd = _daat_knn(self.space, qenc, self.data, k, self._chunk)
-        self.dist_comps += int(nd)
+        self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)

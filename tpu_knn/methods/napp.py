@@ -115,7 +115,6 @@ class Napp(Method):
         self.num_prefix_search = self.num_prefix
         self.min_times = 2
         self.skip_checking = False
-        self.dist_comps = 0
         self._prefix = None
 
     def set_query_time_params(self, params: Params | None) -> None:
@@ -187,7 +186,7 @@ class Napp(Method):
             k, self._chunk, self.min_times, self.skip_checking,
             min(self.num_prefix_search, self._pivot_rows.shape[0]),
         )
-        self.dist_comps += int(nd)
+        self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
 
     # ---------------- persistence ----------------

@@ -161,7 +161,6 @@ class SeqSearch(Method):
         self.chunk = pm.get("chunkSize", 0, int)
         self.precision = pm.get("precision", "float32", str)
         pm.check_unused()
-        self.dist_comps = 0
 
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
         self.store = store

@@ -202,7 +202,6 @@ class VPTree(Method):
         self.alpha_right = 1.0
         self.exp_right = 1.0
         self.max_leaves = 1 << 30
-        self.dist_comps = 0
         self._tree = None
 
     def set_query_time_params(self, params: Params | None) -> None:
@@ -346,7 +345,7 @@ class VPTree(Method):
             t["leaf_of"], t["leaf_count"], self._pruner(),
             self.depth, self.leaf_cap, k, ml, self._chunk,
         )
-        self.dist_comps += int(nd)
+        self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
 
     def range(self, points, radius: float):
