@@ -72,16 +72,11 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
     -> [B, C, C2]. Uses each candidate's own query encoding against
     gathered corpus rows, so it is valid for every space (including
     asymmetric divergences)."""
+    from ..ops.graph import gather_rows, inject_term
+
     b = ids_a.shape[0]
-    safe_b = jnp.clip(ids_b, 0, corpus["vecs"].shape[0] - 1)
-    rows = corpus["vecs"][safe_b]  # [B, C2, D]
-    pad = corpus["pad"][safe_b] + jnp.where(ids_b < 0, INF, 0.0)
-    extra = {}
-    if corpus.get("term") is not None:
-        extra["x_term"] = corpus["term"][safe_b]
-    for key, arr in corpus.items():
-        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
-            extra[key] = arr[safe_b]
+    rows, pad, extra = gather_rows(corpus, ids_b)  # [B, C2, ...]
+    extra = inject_term(space, rows, extra)
 
     qe = _gather_qenc(qenc_all, jnp.clip(ids_a, 0, n_total - 1), n_total)
 
@@ -326,9 +321,10 @@ class Hnsw(Method):
                 mate_ids = jnp.broadcast_to(wave_ids[None, :], (w, w))
                 # the mate row set is the SAME [w] rows for every wave point:
                 # one [w, ...] gather + one [w, w] block, not a w*w*D gather
-                from ..ops.graph import gather_rows
+                from ..ops.graph import gather_rows, inject_term
 
                 rows1, pad1, extras1 = gather_rows(corpus, wave_ids[None, :])
+                extras1 = inject_term(space, rows1, extras1)
                 xc_wave = {"x": rows1[0], "pad": pad1[0]}
                 xc_wave.update({kk: vv[0] for kk, vv in extras1.items()})
                 mate_d = space.block(qe, xc_wave)  # [w, w]

@@ -214,6 +214,11 @@ class SmallWorldRand(Hnsw):
         pad[delf] = np.float32(1e30)
         ids[delf] = -1
         self.data.extra["pad"] = jnp.asarray(pad)
+        # dynamic row mask: deleted REAL rows must be masked in gather
+        # paths, which otherwise derive masking from the static count
+        # (ops/graph.py _row_pad); presence of this key switches modes
+        # (and, being a pytree-structure change, retriggers jit traces)
+        self.data.extra["row_mask"] = jnp.asarray(pad)
         self.data.ids = jnp.asarray(ids)
 
     def data_qty(self) -> int:

@@ -142,14 +142,13 @@ def _vptree_knn(
 
 def _gather_xc(space, data, rows):
     """Corpus slice at arbitrary row indices, in block()'s xc format."""
+    from ..ops.graph import gather_rows, inject_term
+
     c = space.corpus_dict(data)
-    safe = jnp.clip(rows, 0, c["vecs"].shape[0] - 1)
-    xc = {"x": c["vecs"][safe], "pad": c["pad"][safe] + jnp.where(rows < 0, INF, 0.0)}
-    if c.get("term") is not None:
-        xc["x_term"] = c["term"][safe]
-    for k, v in c.items():
-        if k not in ("vecs", "pad", "term", "ids") and hasattr(v, "ndim"):
-            xc[k] = v[safe]
+    r2, pad2, extras2 = gather_rows(c, rows[None, :])
+    extras2 = inject_term(space, r2, extras2)
+    xc = {"x": r2[0], "pad": pad2[0]}
+    xc.update({k: v[0] for k, v in extras2.items()})
     return xc
 
 

@@ -41,16 +41,34 @@ def _qenc_axes(qenc: dict, batch: int):
     }
 
 
+_NON_GATHER_KEYS = ("vecs", "pad", "term", "ids", "count", "row_mask")
+
+
+def _row_pad(corpus: dict, ids: jax.Array, safe: jax.Array) -> jax.Array:
+    """Row mask without a scalar gather: padding rows are exactly rows
+    >= the (static) real count; a gathered 'row_mask' array is used only
+    when a method masks real rows dynamically (sw-graph deletions).
+    Profiled on v5e: a 1-D 4B-granule gather costs several times the 512B
+    row gather it accompanies, so the static path matters."""
+    if "row_mask" in corpus:
+        pad = corpus["row_mask"][safe]
+    elif "count" in corpus:
+        pad = jnp.where(ids >= corpus["count"], INF, 0.0)
+    else:
+        pad = corpus["pad"][safe]
+    return pad + jnp.where(ids < 0, INF, 0.0)
+
+
 def gather_rows(corpus: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array, dict]:
     """Per-query row gather: (rows [B,K,...], pad [B,K], extras)."""
     safe = jnp.clip(ids, 0, corpus["vecs"].shape[0] - 1)
     rows = corpus["vecs"][safe]  # [B, K, D]
-    pad = corpus["pad"][safe] + jnp.where(ids < 0, INF, 0.0)  # [B, K]
+    pad = _row_pad(corpus, ids, safe)  # [B, K]
     extra_sl = {}
     if corpus.get("term") is not None:
         extra_sl["x_term"] = corpus["term"][safe]
     for key, arr in corpus.items():
-        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
+        if key not in _NON_GATHER_KEYS and hasattr(arr, "ndim"):
             extra_sl[key] = arr[safe]
     return rows, pad, extra_sl
 
@@ -69,15 +87,32 @@ def gather_row_groups(corpus: dict, gsel: jax.Array, group: int = 128):
         return out.reshape((b, kg * group) + arr.shape[1:])
 
     rows = expand(corpus["vecs"])
-    pad = expand(corpus["pad"])
+    cols = gsel[:, :, None] * group + jnp.arange(group)[None, None, :]
+    cols = cols.reshape(b, kg * group)
+    if "row_mask" in corpus:
+        pad = expand(corpus["row_mask"])
+    elif "count" in corpus:
+        pad = jnp.where(cols >= corpus["count"], INF, 0.0)
+    else:
+        pad = expand(corpus["pad"])
     extra_sl = {}
     if corpus.get("term") is not None:
         extra_sl["x_term"] = expand(corpus["term"])
     for key, arr in corpus.items():
-        if key not in ("vecs", "pad", "term", "ids") and hasattr(arr, "ndim"):
+        if key not in _NON_GATHER_KEYS and hasattr(arr, "ndim"):
             extra_sl[key] = expand(arr)
-    cols = gsel[:, :, None] * group + jnp.arange(group)[None, None, :]
-    return rows, pad, extra_sl, cols.reshape(b, kg * group)
+    return rows, pad, extra_sl, cols
+
+
+def inject_term(space, rows, extra_sl: dict) -> dict:
+    """Recompute the per-row term from gathered rows when the space can
+    (term_from_rows): avoids a 1-D scalar gather."""
+    if "x_term" not in extra_sl and getattr(space, "term_recompute", False):
+        t = space.term_from_rows(rows)
+        if t is not None:
+            extra_sl = dict(extra_sl)
+            extra_sl["x_term"] = t
+    return extra_sl
 
 
 def score_gathered(space, qenc: dict, rows, pad, extra_sl: dict) -> jax.Array:
@@ -87,6 +122,8 @@ def score_gathered(space, qenc: dict, rows, pad, extra_sl: dict) -> jax.Array:
     on the MXU + the exact post-transform — ~50x faster than the
     generic per-query vmap of Space.block, which survives as the
     fallback for merge/DP-style distances."""
+    extra_sl = inject_term(space, rows, extra_sl)
+
     aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
     if aff is not None and hasattr(rows, "dtype") and rows.ndim == 3:
         from .distance import batched_dot

@@ -96,10 +96,15 @@ class ShardedHnsw:
         uppers: list[list] = [[] for _ in range(max_lv)]
         for h in shards:
             c = self.space.corpus_dict(h.data)
+            # per-shard counts differ, so the static-count row masking of
+            # ops/graph.py can't apply across the stack: every shard gets
+            # an explicit row_mask instead
+            c.pop("count", None)
+            c.setdefault("row_mask", h.data.extra["pad"])
             if corpus_keys is None:
                 corpus_keys = [k for k, v in c.items() if v is not None]
             for k in corpus_keys:
-                fill = 1e30 if k == "pad" else 0
+                fill = 1e30 if k in ("pad", "row_mask") else 0
                 corpus_stacks.setdefault(k, []).append(_pad_rows_to(c[k], n_pad, fill))
             ids.append(_pad_rows_to(h.data.ids, n_pad, -1))
             lvl0.append(_pad_rows_to(h.graph["level0"], n_pad, -1))

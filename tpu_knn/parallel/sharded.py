@@ -59,6 +59,14 @@ def sharded_exact_knn(
     (encode with row_multiple = 8 * mesh.size). Returns replicated
     (dists[Q,k], ids[Q,k])."""
     corpus = space.corpus_dict(data)
+    # the shard-local scan slices whole rows (no gathers), so the explicit
+    # pad/term arrays are the right form here — undo the gather-oriented
+    # static-count/term-recompute conventions of corpus_dict
+    corpus.pop("count", None)
+    corpus.pop("row_mask", None)
+    corpus["pad"] = data.extra["pad"]
+    if "term" not in corpus and getattr(data, "row_term", None) is not None:
+        corpus["term"] = data.row_term
 
     def local(qenc_l, corpus_l, ids_l):
         xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}

@@ -76,15 +76,36 @@ class Space:
         distance (e.g. sqrt for l2). Must be exact, not just monotone."""
         return s
 
+    def term_from_rows(self, rows):
+        """Recompute the per-row term from (gathered, transformed) corpus
+        rows, when possible. Gather paths use this instead of a separate
+        1-D term gather: profiled on v5e, a scalar (4B-granule) gather
+        costs ~5x the row gather it accompanies, while recomputing e.g.
+        a squared norm from rows already in registers is ~free. Return
+        None when the term isn't a function of the stored row (e.g. KL's
+        precomputed-log layout)."""
+        return None
+
     # -- graph-search support (ops/graph.py, methods/hnsw.py) --
     def corpus_dict(self, data) -> dict:
-        """Row-indexed corpus arrays for gather-based graph search:
-        'vecs' is gathered into block()'s ``x`` slot, 'pad' masks padded
-        rows, and every other key is gathered and passed through."""
-        c = {"vecs": data.vecs, "pad": data.extra["pad"]}
-        if getattr(data, "row_term", None) is not None:
+        """Row-indexed corpus arrays for gather-based graph search.
+
+        'vecs' is gathered into block()'s ``x`` slot. Row masking: by
+        default the dict carries 'count' (static) and padding rows are
+        detected as ids >= count with NO pad gather; a method that masks
+        real rows dynamically (sw-graph deletions) installs a 'row_mask'
+        array in data.extra, which is gathered instead. The per-row term
+        is included only when :meth:`term_from_rows` can't recompute it.
+        """
+        c = {"vecs": data.vecs, "count": data.count}
+        if "row_mask" in data.extra:
+            c["row_mask"] = data.extra["row_mask"]
+        if getattr(data, "row_term", None) is not None and not self.term_recompute:
             c["term"] = data.row_term
         return c
+
+    #: True when term_from_rows reconstructs the row term exactly.
+    term_recompute: bool = False
 
     def store_as_query_points(self, store: DataStore):
         """The store's raw points in encode_queries' input format, index-

@@ -28,6 +28,10 @@ from .dense import DenseSpace
 class BitSpaceBase(DenseSpace):
     data_kind = DataKind.UINT8
     np_dtype = np.uint8
+    term_recompute = True
+
+    def term_from_rows(self, rows):
+        return jnp.sum(rows, axis=-1)
 
     def _transform_x(self, v):
         b = np.asarray(v, np.float32)

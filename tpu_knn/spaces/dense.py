@@ -153,6 +153,7 @@ class LpSpaceBase(DenseSpace):
     def __init__(self, params: Params | None = None, p: float = 2.0):
         super().__init__(params)
         self.p = float(p)
+        self.term_recompute = self.p == 2.0
 
     def _term_x(self, v):
         return D.sq_norms(jnp.asarray(v)) if self.p == 2.0 else None
@@ -165,6 +166,9 @@ class LpSpaceBase(DenseSpace):
 
     def pass1_post(self, s, qenc):
         return jnp.sqrt(jnp.maximum(s, 0.0))
+
+    def term_from_rows(self, rows):
+        return jnp.sum(rows * rows, axis=-1) if self.p == 2.0 else None
 
     def _block_impl(self, qenc, xc, precision):
         if self.p == 2.0:
@@ -580,6 +584,13 @@ class L2SqrSiftSpace(DenseSpace):
     data_kind = DataKind.UINT8
     dist_kind = DistKind.INT
     np_dtype = np.uint8
+    term_recompute = True
+
+    def term_from_rows(self, rows):
+        # term = |x|^2 - 256*sum(a) = sum(a^2) + 16384*d, a = x - 128;
+        # all integers < 2^24, bitwise-equal to the encode-time value
+        a = rows.astype(jnp.float32)
+        return jnp.sum(a * a, axis=-1) + 16384.0 * rows.shape[-1]
 
     def _encode_mat(self, mat: np.ndarray):
         fm = mat.astype(np.float32)
