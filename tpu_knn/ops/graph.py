@@ -228,11 +228,11 @@ def beam_search(
     k_cand = expand * m
     if max_iters is None:
         max_iters = max(2 * ((ef + expand - 1) // expand) + 4, 8)
-    # carry the beam at the 128-lane width: ops on narrow [B, ef] arrays
-    # waste most of each VPU register row and trigger relayouts inside the
+    # carry the beam at a multiple of the 128-lane width: ops on unaligned
+    # [B, ef] arrays waste VPU register rows and relayout inside the
     # while_loop; columns >= ef are masked INF so the semantics are exactly
     # a beam of ef
-    ef_pad = max(ef, 128) if ef < 128 else ef
+    ef_pad = ((ef + 127) // 128) * 128
 
     entry_d = score_rows(space, qenc, corpus, entry[:, None])[:, 0]
     beam_d = jnp.full((b, ef_pad), INF).at[:, 0].set(entry_d)
