@@ -108,3 +108,26 @@ def test_hnsw_uint8_sift():
     assert res.dists[0] == 0
     # integer distances
     assert np.all(res.dists == np.rint(res.dists))
+
+
+def test_hnsw_ef_autotune(corpus):
+    """tune_hnsw_ef finds the smallest efSearch meeting the recall target
+    (framework extension; the reference tuner covers only vptree alphas)."""
+    from tpu_knn.eval.tune import tune_hnsw_ef
+
+    x, q = corpus
+    idx = Index("l2", Params(dim=24), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(BUILD)
+    old_ef = idx.method.ef_search
+    res = tune_hnsw_ef(idx.method, idx.store, k=5, desired_recall=0.95, sample=60)
+    assert res["met"] and res["recall"] >= 0.95
+    assert idx.method.ef_search == old_ef  # tuner restores state
+    # the recommendation actually delivers the target recall
+    idx.set_query_time_params(Params(efSearch=res["efSearch"]))
+    exact = Index("l2", Params(dim=24), method="seq_search")
+    exact.add_dense_batch(x)
+    gd, gi = exact.knn_query_batch(x[:60], 5)
+    d, i = idx.knn_query_batch(x[:60], 5)
+    rec = np.mean([len(set(gi[r]) & set(i[r])) / 5 for r in range(60)])
+    assert rec >= 0.85

@@ -4,7 +4,7 @@ eval_metrics.h, meta_analysis.h, tune.h)."""
 from .gold_standard import GoldStandard
 from .metrics import per_query_metrics, summarize, class_accuracy
 from .experiments import ExperimentConfig, Experiments, MetaAnalysis, run_full_experiment
-from .tune import tune_vptree_alphas
+from .tune import tune_hnsw_ef, tune_vptree_alphas
 
 __all__ = [
     "GoldStandard",
@@ -15,6 +15,7 @@ __all__ = [
     "Experiments",
     "MetaAnalysis",
     "run_full_experiment",
+    "tune_hnsw_ef",
     "tune_vptree_alphas",
 ]
 from .report import (  # noqa: E402

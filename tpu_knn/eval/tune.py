@@ -66,3 +66,72 @@ def tune_vptree_alphas(
         method.alpha_left, method.alpha_right, method.max_leaves = old_l, old_r, old_ml
     log("INFO", f"tune_vptree_alphas -> {best}")
     return best
+
+
+def tune_hnsw_ef(
+    method,
+    store: DataStore,
+    k: int = 10,
+    desired_recall: float = 0.95,
+    sample: int = 200,
+    ef_max: int = 4096,
+) -> dict:
+    """Smallest efSearch reaching ``desired_recall`` on sampled
+    self-queries (recall vs the exact gold standard), i.e. the highest-QPS
+    operating point at the target quality.
+
+    Framework extension: the reference's auto-tuner (tune.h
+    GetOptimalAlphas) only covers the VP-tree pruner; HNSW users must
+    hand-sweep efSearch. Same shape as the reference tuner: geometric
+    ramp to bracket the target, then bisection. The method's efSearch is
+    restored afterward; callers apply the returned value via
+    set_query_time_params(Params(efSearch=...)).
+    """
+    from ..eval.experiments import _query_points
+
+    n = len(store)
+    rng = np_rng(1234)
+    q_pos = rng.choice(n, size=min(sample, n), replace=False)
+    queries = _query_points(store, q_pos)
+
+    gold = GoldStandard(method.space, store)
+    ex_d, ex_ids = gold.compute_knn(queries, k)
+
+    def recall_at(ef: int) -> float:
+        method.ef_search = max(int(ef), k)
+        ad, aids = method.knn(queries, k)
+        m = per_query_metrics(ex_d, ex_ids, ad, aids, check_invariant=False)
+        return float(np.mean(m["recall"]))
+
+    old_ef = method.ef_search
+    tried: dict[int, float] = {}
+    try:
+        # geometric ramp to bracket the target
+        lo, ef = None, max(k, 8)
+        while ef <= ef_max:
+            rec = tried[ef] = recall_at(ef)
+            if rec >= desired_recall:
+                break
+            lo, ef = ef, ef * 2
+        else:
+            best_ef = max(tried, key=lambda e: (tried[e], -e))
+            log(
+                "WARNING",
+                f"tune_hnsw_ef: recall {tried[best_ef]:.3f} < target "
+                f"{desired_recall} even at efSearch={best_ef} (ef_max={ef_max})",
+            )
+            return {"efSearch": best_ef, "recall": tried[best_ef], "met": False}
+        hi = ef
+        # bisect (lo fails or is None, hi passes)
+        while lo is not None and hi - lo > max(1, lo // 16):
+            mid = (lo + hi) // 2
+            rec = tried[mid] = recall_at(mid)
+            if rec >= desired_recall:
+                hi = mid
+            else:
+                lo = mid
+        best = {"efSearch": hi, "recall": tried[hi], "met": True}
+    finally:
+        method.ef_search = old_ef
+    log("INFO", f"tune_hnsw_ef -> {best}")
+    return best

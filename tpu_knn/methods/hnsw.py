@@ -107,6 +107,170 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
     return jnp.where(ids_a[:, :, None] < 0, INF, d)
 
 
+def make_wave_step(
+    space,
+    n_total: int,
+    w: int,
+    max_level: int,
+    *,
+    efc: int,
+    m: int,
+    m0cap: int,
+    mcap: int,
+    mates: int,
+    expand: int,
+    exact_heur: bool,
+):
+    """Build the (unjitted) batched insertion wave step.
+
+    Module-level so the corpus-sharded builder (parallel/hnsw_sharded.py)
+    can run the same step for every shard at once under shard_map.
+
+    NB: corpus/qenc_all are traced ARGUMENTS of the wave step, never
+    closure constants — a closed-over corpus would be baked into the
+    compiled program (512MB of constants at 1M rows, which also
+    overflows remote-compile request limits).
+    """
+    oob = jnp.int32(2**30)
+
+    def wave_step(level0, upper, start, wl, entry, limit, corpus, qenc_all):
+        """Insert/refresh points [start, start+w). ``limit`` bounds
+        which graph nodes may be linked to: ``start`` during the
+        initial build (frozen prefix), ``n`` during post passes
+        (full visibility; reference: hnsw.cc:251-338)."""
+        def level_candidates(adj, limit, wave_ids, wl, l, cur):
+            """Beam over the frozen graph + nearest wave-mates, heuristic-
+            selected down to M forward neighbors. Returns (sel [W,M],
+            best_d [W], best_i [W]) where best_* trace the closest point
+            seen (for entry hand-off to the next level)."""
+            qe = _gather_qenc(qenc_all, wave_ids, n_total)
+            beam_d, beam_i, _ = G.beam_search(
+                space, qe, corpus, adj, None, cur, ef=efc, expand=expand
+            )
+            frozen_ok = (beam_i < limit) & (beam_i >= 0) & (beam_i != wave_ids[:, None])
+            beam_i = jnp.where(frozen_ok, beam_i, NEG1)
+            beam_d = jnp.where(frozen_ok, beam_d, INF)
+
+            mate_ids = jnp.broadcast_to(wave_ids[None, :], (w, w))
+            # the mate row set is the SAME [w] rows for every wave point:
+            # one [w, ...] gather + one [w, w] block, not a w*w*D gather
+            from ..ops.graph import gather_rows, inject_term
+
+            rows1, pad1, extras1 = gather_rows(corpus, wave_ids[None, :])
+            extras1 = inject_term(space, rows1, extras1)
+            xc_wave = {"x": rows1[0], "pad": pad1[0]}
+            xc_wave.update({kk: vv[0] for kk, vv in extras1.items()})
+            mate_d = space.block(qe, xc_wave)  # [w, w]
+            bad = (mate_ids == wave_ids[:, None]) | (wl[None, :] < l) | (wl[None, :] < 0)
+            mate_d = jnp.where(bad, INF, mate_d)
+            mneg, mpos = jax.lax.top_k(-mate_d, mates)
+            mate_sel = jnp.take_along_axis(mate_ids, mpos, 1)
+            mate_sel = jnp.where(mneg > -INF, mate_sel, NEG1)
+            mate_dd = jnp.where(mneg > -INF, -mneg, INF)
+            dup = jnp.any(mate_sel[:, :, None] == beam_i[:, None, :], axis=2)
+            mate_sel = jnp.where(dup, NEG1, mate_sel)
+            mate_dd = jnp.where(dup, INF, mate_dd)
+
+            cand_i = jnp.concatenate([beam_i, mate_sel], axis=1)
+            cand_d = jnp.concatenate([beam_d, mate_dd], axis=1)
+            cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
+            pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
+            keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
+            sel = G.pack_selected(cand_i, keep, m)
+            connect = (wl >= l) & (wl >= 0)
+            sel = jnp.where(connect[:, None], sel, NEG1)
+            return sel, cand_d[:, 0], cand_i[:, 0]
+
+        def scatter_forward(adj, cap, sel, wave_ids, connect):
+            fwd = (
+                jnp.concatenate([sel, jnp.full((w, cap - m), NEG1)], axis=1)
+                if cap > m
+                else sel[:, :cap]
+            )
+            tgt = jnp.where(connect, wave_ids, oob)
+            return adj.at[tgt].set(fwd, mode="drop")
+
+        def reverse_update(adj, cap, sel, wave_ids, connect):
+            """Insert each wave node into its selected neighbors' rows;
+            overflowing rows are shrunk with the heuristic (reference:
+            hnsw.h:258-314 link + addFriendlevel shrink)."""
+            p_ids = jnp.broadcast_to(wave_ids[:, None], sel.shape).reshape(-1)
+            n_ids = sel.reshape(-1)
+            valid = (n_ids >= 0) & jnp.broadcast_to(connect[:, None], sel.shape).reshape(-1)
+            npairs = n_ids.shape[0]
+            skey = jnp.where(valid, n_ids, oob)
+            order = jnp.argsort(skey)
+            sn, sp, sv = skey[order], p_ids[order], valid[order]
+            first = (jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]])) & sv
+            gid = jnp.cumsum(first) - 1  # group index (valid rows only)
+            gid = jnp.clip(gid, 0, npairs - 1)
+            iar = jnp.arange(npairs, dtype=jnp.int32)
+            gstart = (
+                jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
+            )
+            pos = iar - gstart[gid]
+            gcap = mates  # insertion cap per neighbor per wave
+            okslot = sv & (pos < gcap)
+            new_c = jnp.full((npairs, gcap), NEG1)
+            new_c = new_c.at[
+                jnp.where(okslot, gid, npairs), jnp.clip(pos, 0, gcap - 1)
+            ].set(jnp.where(okslot, sp, NEG1), mode="drop")
+            grp_n = jnp.full(npairs, NEG1).at[gid].max(jnp.where(first, sn, NEG1))
+            grp_valid = grp_n >= 0
+            base = jnp.where(grp_valid, grp_n, 0)
+
+            old = adj[base]  # [P, cap]
+            # drop inserts already present in the row (post passes re-insert)
+            dup_old = jnp.any(new_c[:, :, None] == old[:, None, :], axis=2)
+            new_c = jnp.where(dup_old, NEG1, new_c)
+            cand = jnp.concatenate([old, new_c], axis=1)  # [P, cap+gcap]
+            qe = _gather_qenc(qenc_all, base, n_total)
+            base_d = G.score_rows(space, qe, corpus, cand)
+            old_deg = jnp.sum(old >= 0, axis=1)
+            add_cnt = jnp.sum(new_c >= 0, axis=1)
+            overflow = old_deg + add_cnt > cap
+
+            # append path: valid entries first, order preserved
+            ckey = jnp.where(cand >= 0, 0, 1) * jnp.int32(cand.shape[1]) + (
+                jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+            )
+            aorder = jnp.argsort(ckey, axis=1)
+            appended = jnp.take_along_axis(cand, aorder, 1)[:, :cap]
+
+            # shrink path: heuristic over all candidates of the row owner
+            sd, si = jax.lax.sort((base_d, cand), num_keys=1)
+            pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
+            keep = G.select_neighbors_heuristic(sd, pair_d, cap, exact=exact_heur)
+            shrunk = G.pack_selected(si, keep, cap)
+
+            newrow = jnp.where(overflow[:, None], shrunk, appended)
+            tgt = jnp.where(grp_valid, base, oob)
+            return adj.at[tgt].set(newrow, mode="drop")
+
+        wave_ids = start + jnp.arange(w, dtype=jnp.int32)
+        qe = _gather_qenc(qenc_all, wave_ids, n_total)
+        cur = jnp.full(w, entry, jnp.int32)  # global entry point
+        cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
+        new_upper = list(upper)
+        for l in range(max_level, 0, -1):
+            adj = new_upper[l - 1]
+            connect = (wl >= l) & (wl >= 0)
+            sel, best_d, best_i = level_candidates(adj, limit, wave_ids, wl, l, cur)
+            adj = scatter_forward(adj, mcap, sel, wave_ids, connect)
+            adj = reverse_update(adj, mcap, sel, wave_ids, connect)
+            new_upper[l - 1] = adj
+            better = (best_i >= 0) & (best_d < cur_d)
+            cur = jnp.where(better, best_i, cur)
+            cur_d = jnp.where(better, best_d, cur_d)
+        connect0 = wl >= 0
+        sel, _, _ = level_candidates(level0, limit, wave_ids, wl, 0, cur)
+        level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
+        level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
+        return level0, new_upper
+
+    return wave_step
+
+
 # ---------------- jitted search ----------------
 
 
@@ -189,6 +353,19 @@ class Hnsw(Method):
         ).astype(np.int32)[:n]
 
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
+        n = self._prepare(store)
+        if n == 0:
+            return
+        self._run_waves(0, n)
+        log("DEBUG", f"{self.name} built: n={n} max_level={self._max_level}")
+
+    def _prepare(self, store: DataStore) -> int:
+        """Everything before the insertion waves: level sampling, level-
+        descending reorder, corpus/query encoding, empty graph allocation.
+        Returns the point count (0 = nothing to insert). Split out so the
+        corpus-sharded parallel builder (parallel/hnsw_sharded.py) can
+        prepare every shard, stack the states, and run the waves for all
+        shards at once under shard_map."""
         self.store = store
         n = len(store)
         rng = np_rng(self.seed)
@@ -198,7 +375,7 @@ class Hnsw(Method):
         self.levels = levels[order]
         self._encode_store(store, n)
         if n == 0:
-            return
+            return 0
         max_level = int(self.levels.max(initial=0))
         self._max_level = max_level
         n_pad = self.data.ids.shape[0]
@@ -207,8 +384,7 @@ class Hnsw(Method):
             jnp.full((max(int(np.sum(self.levels >= l)), 1), self.maxM), NEG1)
             for l in range(1, max_level + 1)
         ]
-        self._run_waves(0, n)
-        log("DEBUG", f"{self.name} built: n={n} max_level={max_level}")
+        return n
 
     def _encode_store(self, store: DataStore, n: int) -> None:
         """Encode + level-sorted reorder of the corpus, and all corpus
@@ -288,154 +464,22 @@ class Hnsw(Method):
     # ----- the batched insertion wave -----
 
     def _make_wave_step(self, w: int, max_level: int):
-        # NB: corpus/qenc_all are traced ARGUMENTS of the jitted wave_step,
-        # never closure constants — a closed-over corpus would be baked into
-        # the compiled program (512MB of constants at 1M rows, which also
-        # overflows remote-compile request limits).
-        space = self.space
-        n_total = self._n_total
-        efc, m, m0cap, mcap = self.ef_construction, self.M, self.maxM0, self.maxM
-        mates = min(self.wave_mates, w)
-        expand = self.construction_expand
-        exact_heur = self.delaunay_type != 0
-        oob = jnp.int32(2**30)
+        return jax.jit(
+            make_wave_step(
+                self.space,
+                self._n_total,
+                w,
+                max_level,
+                efc=self.ef_construction,
+                m=self.M,
+                m0cap=self.maxM0,
+                mcap=self.maxM,
+                mates=min(self.wave_mates, w),
+                expand=self.construction_expand,
+                exact_heur=self.delaunay_type != 0,
+            )
+        )
 
-        def wave_step(level0, upper, start, wl, entry, limit, corpus, qenc_all):
-            """Insert/refresh points [start, start+w). ``limit`` bounds
-            which graph nodes may be linked to: ``start`` during the
-            initial build (frozen prefix), ``n`` during post passes
-            (full visibility; reference: hnsw.cc:251-338)."""
-            def level_candidates(adj, limit, wave_ids, wl, l, cur):
-                """Beam over the frozen graph + nearest wave-mates, heuristic-
-                selected down to M forward neighbors. Returns (sel [W,M],
-                best_d [W], best_i [W]) where best_* trace the closest point
-                seen (for entry hand-off to the next level)."""
-                qe = _gather_qenc(qenc_all, wave_ids, n_total)
-                beam_d, beam_i, _ = G.beam_search(
-                    space, qe, corpus, adj, None, cur, ef=efc, expand=expand
-                )
-                frozen_ok = (beam_i < limit) & (beam_i >= 0) & (beam_i != wave_ids[:, None])
-                beam_i = jnp.where(frozen_ok, beam_i, NEG1)
-                beam_d = jnp.where(frozen_ok, beam_d, INF)
-
-                mate_ids = jnp.broadcast_to(wave_ids[None, :], (w, w))
-                # the mate row set is the SAME [w] rows for every wave point:
-                # one [w, ...] gather + one [w, w] block, not a w*w*D gather
-                from ..ops.graph import gather_rows, inject_term
-
-                rows1, pad1, extras1 = gather_rows(corpus, wave_ids[None, :])
-                extras1 = inject_term(space, rows1, extras1)
-                xc_wave = {"x": rows1[0], "pad": pad1[0]}
-                xc_wave.update({kk: vv[0] for kk, vv in extras1.items()})
-                mate_d = space.block(qe, xc_wave)  # [w, w]
-                bad = (mate_ids == wave_ids[:, None]) | (wl[None, :] < l) | (wl[None, :] < 0)
-                mate_d = jnp.where(bad, INF, mate_d)
-                mneg, mpos = jax.lax.top_k(-mate_d, mates)
-                mate_sel = jnp.take_along_axis(mate_ids, mpos, 1)
-                mate_sel = jnp.where(mneg > -INF, mate_sel, NEG1)
-                mate_dd = jnp.where(mneg > -INF, -mneg, INF)
-                dup = jnp.any(mate_sel[:, :, None] == beam_i[:, None, :], axis=2)
-                mate_sel = jnp.where(dup, NEG1, mate_sel)
-                mate_dd = jnp.where(dup, INF, mate_dd)
-
-                cand_i = jnp.concatenate([beam_i, mate_sel], axis=1)
-                cand_d = jnp.concatenate([beam_d, mate_dd], axis=1)
-                cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
-                pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
-                keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
-                sel = G.pack_selected(cand_i, keep, m)
-                connect = (wl >= l) & (wl >= 0)
-                sel = jnp.where(connect[:, None], sel, NEG1)
-                return sel, cand_d[:, 0], cand_i[:, 0]
-
-            def scatter_forward(adj, cap, sel, wave_ids, connect):
-                fwd = (
-                    jnp.concatenate([sel, jnp.full((w, cap - m), NEG1)], axis=1)
-                    if cap > m
-                    else sel[:, :cap]
-                )
-                tgt = jnp.where(connect, wave_ids, oob)
-                return adj.at[tgt].set(fwd, mode="drop")
-
-            def reverse_update(adj, cap, sel, wave_ids, connect):
-                """Insert each wave node into its selected neighbors' rows;
-                overflowing rows are shrunk with the heuristic (reference:
-                hnsw.h:258-314 link + addFriendlevel shrink)."""
-                p_ids = jnp.broadcast_to(wave_ids[:, None], sel.shape).reshape(-1)
-                n_ids = sel.reshape(-1)
-                valid = (n_ids >= 0) & jnp.broadcast_to(connect[:, None], sel.shape).reshape(-1)
-                npairs = n_ids.shape[0]
-                skey = jnp.where(valid, n_ids, oob)
-                order = jnp.argsort(skey)
-                sn, sp, sv = skey[order], p_ids[order], valid[order]
-                first = (jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]])) & sv
-                gid = jnp.cumsum(first) - 1  # group index (valid rows only)
-                gid = jnp.clip(gid, 0, npairs - 1)
-                iar = jnp.arange(npairs, dtype=jnp.int32)
-                gstart = (
-                    jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
-                )
-                pos = iar - gstart[gid]
-                gcap = mates  # insertion cap per neighbor per wave
-                okslot = sv & (pos < gcap)
-                new_c = jnp.full((npairs, gcap), NEG1)
-                new_c = new_c.at[
-                    jnp.where(okslot, gid, npairs), jnp.clip(pos, 0, gcap - 1)
-                ].set(jnp.where(okslot, sp, NEG1), mode="drop")
-                grp_n = jnp.full(npairs, NEG1).at[gid].max(jnp.where(first, sn, NEG1))
-                grp_valid = grp_n >= 0
-                base = jnp.where(grp_valid, grp_n, 0)
-
-                old = adj[base]  # [P, cap]
-                # drop inserts already present in the row (post passes re-insert)
-                dup_old = jnp.any(new_c[:, :, None] == old[:, None, :], axis=2)
-                new_c = jnp.where(dup_old, NEG1, new_c)
-                cand = jnp.concatenate([old, new_c], axis=1)  # [P, cap+gcap]
-                qe = _gather_qenc(qenc_all, base, n_total)
-                base_d = G.score_rows(space, qe, corpus, cand)
-                old_deg = jnp.sum(old >= 0, axis=1)
-                add_cnt = jnp.sum(new_c >= 0, axis=1)
-                overflow = old_deg + add_cnt > cap
-
-                # append path: valid entries first, order preserved
-                ckey = jnp.where(cand >= 0, 0, 1) * jnp.int32(cand.shape[1]) + (
-                    jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
-                )
-                aorder = jnp.argsort(ckey, axis=1)
-                appended = jnp.take_along_axis(cand, aorder, 1)[:, :cap]
-
-                # shrink path: heuristic over all candidates of the row owner
-                sd, si = jax.lax.sort((base_d, cand), num_keys=1)
-                pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
-                keep = G.select_neighbors_heuristic(sd, pair_d, cap, exact=exact_heur)
-                shrunk = G.pack_selected(si, keep, cap)
-
-                newrow = jnp.where(overflow[:, None], shrunk, appended)
-                tgt = jnp.where(grp_valid, base, oob)
-                return adj.at[tgt].set(newrow, mode="drop")
-
-            wave_ids = start + jnp.arange(w, dtype=jnp.int32)
-            qe = _gather_qenc(qenc_all, wave_ids, n_total)
-            cur = jnp.full(w, entry, jnp.int32)  # global entry point
-            cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
-            new_upper = list(upper)
-            for l in range(max_level, 0, -1):
-                adj = new_upper[l - 1]
-                connect = (wl >= l) & (wl >= 0)
-                sel, best_d, best_i = level_candidates(adj, limit, wave_ids, wl, l, cur)
-                adj = scatter_forward(adj, mcap, sel, wave_ids, connect)
-                adj = reverse_update(adj, mcap, sel, wave_ids, connect)
-                new_upper[l - 1] = adj
-                better = (best_i >= 0) & (best_d < cur_d)
-                cur = jnp.where(better, best_i, cur)
-                cur_d = jnp.where(better, best_d, cur_d)
-            connect0 = wl >= 0
-            sel, _, _ = level_candidates(level0, limit, wave_ids, wl, 0, cur)
-            level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
-            level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
-            return level0, new_upper
-
-        return jax.jit(wave_step)
 
     # ---------------- search ----------------
 

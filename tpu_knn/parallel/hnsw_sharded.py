@@ -25,9 +25,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.dataset import DataKind, DataStore
-from ..core.params import Params
-from ..methods.hnsw import Hnsw
+from ..core.params import Params, _convert
+from ..methods.hnsw import Hnsw, make_wave_step
 from ..ops import graph as G
+from ..utils.logging import log
 from .mesh import SHARD_AXIS
 from .sharded import merge_sharded_topk
 
@@ -63,24 +64,162 @@ class ShardedHnsw:
         self.space = space
         self.mesh = mesh
         self.axis = axis
-        self.params = Params.of(index_params)
+        pm = Params.of(index_params)
+        # parallelBuild=1 (default): build all shard subgraphs at once
+        # under shard_map — one insertion-wave program, S devices each
+        # advancing their own subgraph. 0: one shard at a time (the
+        # original path; also the fallback when a shard would be empty).
+        self.parallel_build = _convert(pm.get("parallelBuild", True), bool)
+        d = pm.as_dict()
+        d.pop("parallelBuild", None)
+        self.params = Params(d)
         self.ef_search = 20
         self.expand = 4
         self._stacked = None
 
     # ---------------- build ----------------
 
+    def _shard_bounds(self, n: int, s: int) -> list[tuple[int, int]]:
+        """Balanced split: every shard non-empty whenever n >= s."""
+        sizes = [n // s + (1 if i < n % s else 0) for i in range(s)]
+        lo, out = 0, []
+        for sz in sizes:
+            out.append((lo, lo + sz))
+            lo += sz
+        return out
+
     def build(self, store: DataStore) -> None:
         s = self.mesh.devices.size
         n = len(store)
-        per = (n + s - 1) // s
+        bounds = self._shard_bounds(n, s)
+        if self.parallel_build and s > 1 and n >= s:
+            self._build_parallel(store, bounds)
+        else:
+            self._build_sequential(store, bounds)
+
+    def _build_sequential(self, store: DataStore, bounds) -> None:
         shards: list[Hnsw] = []
-        for si in range(s):
-            lo, hi = si * per, min((si + 1) * per, n)
-            h = Hnsw(self.space, self.params)
+        for si, (lo, hi) in enumerate(bounds):
+            h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
             h.create_index(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)
+
+    def _seed(self, si: int) -> int:
+        return int(self.params.get("seed", 0) or 0) + si
+
+    def _build_parallel(self, store: DataStore, bounds) -> None:
+        """Build every shard's subgraph simultaneously: prepare each shard
+        on host (level sampling, reorder, encode, empty graph), stack the
+        states on the shard axis, then run the batched insertion waves for
+        ALL shards in one shard_map program — each device advances its own
+        subgraph, no collectives needed until query time. The sequential
+        path runs the same wave step one shard at a time, so the resulting
+        graphs are identical distribution-wise (per-shard seeds match)."""
+        shards: list[Hnsw] = []
+        for si, (lo, hi) in enumerate(bounds):
+            h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
+            h._prepare(_subset_store(store, lo, hi))
+            shards.append(h)
+        self._stack(shards)  # stacks corpus/ids + the (empty) level0/upper
+        self._run_stacked_waves(shards)
+        log("DEBUG", f"sharded hnsw: parallel build of {len(shards)} shards done")
+
+    def _run_stacked_waves(self, shards: list[Hnsw]) -> None:
+        cfg = shards[0]
+        s = len(shards)
+        per = max(h._n_total for h in shards)
+        w = int(min(cfg.wave, per))
+        num_waves = (per + w - 1) // w
+        max_level = max(h._max_level for h in shards)
+
+        # stacked per-node query encodings, row-padded to a common count;
+        # non-per-point entries (static/config leaves) stay replicated
+        n_q = per
+        ref = shards[0]._qenc_all
+        per_point = {
+            k
+            for k, v in ref.items()
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == shards[0]._n_total
+        }
+        qenc_st = {}
+        for k, v0 in ref.items():
+            if v0 is None:
+                continue
+            if k in per_point:
+                qenc_st[k] = jnp.stack(
+                    [_pad_rows_to(h._qenc_all[k], n_q, 0) for h in shards]
+                )
+            else:
+                qenc_st[k] = v0
+
+        # per-shard level arrays over the padded wave range (-1 pads are
+        # no-ops: the wave step never connects wl<0 rows)
+        wl_st = np.full((s, num_waves * w), -1, np.int32)
+        for si, h in enumerate(shards):
+            wl_st[si, : len(h.levels)] = h.levels
+        wl_st = jnp.asarray(wl_st)
+
+        step = make_wave_step(
+            self.space,
+            n_q,
+            w,
+            max_level,
+            efc=cfg.ef_construction,
+            m=cfg.M,
+            m0cap=cfg.maxM0,
+            mcap=cfg.maxM,
+            mates=min(cfg.wave_mates, w),
+            expand=cfg.construction_expand,
+            exact_heur=cfg.delaunay_type != 0,
+        )
+
+        st = self._stacked
+        n_upper = len(st["upper"])
+        axis = self.axis
+
+        def local(level0_l, upper_l, wl_l, corpus_l, qenc_l, start, limit):
+            corpus = {k: v[0] for k, v in corpus_l.items()}
+            qe = {k: (v[0] if k in per_point else v) for k, v in qenc_l.items()}
+            wl = jax.lax.dynamic_slice_in_dim(wl_l[0], start, w)
+            l0, up = step(
+                level0_l[0], [u[0] for u in upper_l], start, wl,
+                jnp.int32(0), limit, corpus, qe,
+            )
+            return l0[None], tuple(u[None] for u in up)
+
+        in_specs = (
+            P(axis),
+            tuple(P(axis) for _ in range(n_upper)),
+            P(axis),
+            jax.tree_util.tree_map(lambda _: P(axis), st["corpus"]),
+            {k: (P(axis) if k in per_point else P()) for k in qenc_st},
+            P(),
+            P(),
+        )
+        f = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=(P(axis), tuple(P(axis) for _ in range(n_upper))),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        level0, upper = st["level0"], st["upper"]
+        for wi in range(num_waves):
+            start = jnp.int32(wi * w)
+            level0, upper = f(
+                level0, upper, wl_st, st["corpus"], qenc_st, start, start
+            )
+        for _ in range(cfg.post):
+            for wi in range(num_waves - 1, -1, -1):
+                start = jnp.int32(wi * w)
+                level0, upper = f(
+                    level0, upper, wl_st, st["corpus"], qenc_st, start, jnp.int32(n_q)
+                )
+        st["level0"], st["upper"] = level0, tuple(upper)
 
     def _stack(self, shards: list[Hnsw]) -> None:
         n_pad = max(h.data.ids.shape[0] for h in shards)
