@@ -80,3 +80,65 @@ def test_reset_and_clear_cache():
     assert res.ids[0] == 0
     idx.reset()
     assert idx.data_qty() == 0
+
+
+# ---- certified reduced-precision pass 1 (methods/seq_search.py) ----
+
+
+def test_pass1_precision_param_validation():
+    import pytest
+
+    idx, _ = _mk_index(20, 8)
+    with pytest.raises(Exception):
+        idx.build_index(Params(pass1Precision="float16"))
+
+
+def test_pass1_precision_tiers_identical_results():
+    # big enough to take the two-pass path (n_pad >= 8*(k+2)*128)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((13000, 32)).astype(np.float32)
+    q = x[:16] + 0.01
+    ref = None
+    for tier in ("float32", "high", "bfloat16"):
+        idx = Index("l2", Params(dim=32), method="seq_search")
+        idx.add_dense_batch(x)
+        idx.build_index(Params(pass1Precision=tier))
+        d, i = idx.knn_query_batch(q, k=4)
+        if ref is None:
+            ref = (d, i)
+        else:
+            np.testing.assert_array_equal(i, ref[1])
+            np.testing.assert_allclose(d, ref[0], rtol=1e-6)
+
+
+def test_certificate_logic():
+    import jax.numpy as jnp
+
+    from tpu_knn.methods.seq_search import _certificate_ok
+
+    # vals ascending per row; k=2, kg=3 (vals has kg+1 columns)
+    vals = jnp.asarray([[1.0, 2.0, 3.0, 10.0]])
+    eps = jnp.asarray([1.0])
+    # boundary 10 > vals[k-1]=2 + 2*1 -> ok
+    assert bool(_certificate_ok(vals, 2, eps))
+    # larger eps: 10 > 2 + 2*4=10 is False -> not ok
+    assert not bool(_certificate_ok(vals, 2, jnp.asarray([4.0])))
+    # multi-row: any failing row fails the batch
+    vals2 = jnp.asarray([[1.0, 2.0, 3.0, 10.0], [1.0, 2.0, 3.0, 4.0]])
+    assert not bool(_certificate_ok(vals2, 2, jnp.asarray([1.0, 1.0])))
+
+
+def test_max_sq_norm_metadata():
+    from tpu_knn.core.dataset import DataKind, DataStore
+    from tpu_knn.core.params import Params as P_
+    from tpu_knn.core.registry import create_space
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    space = create_space("l2", P_(dim=16))
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    data = space.encode_dataset(store, row_multiple=8)
+    want = float((x.astype(np.float64) ** 2).sum(1).max())
+    got = float(data.extra["max_sq_norm"])
+    assert want <= got <= want * 1.02

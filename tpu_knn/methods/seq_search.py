@@ -46,8 +46,40 @@ def _knn_device(space, qenc, data, k: int, chunk: int, precision: str):
     return d, ids, pos
 
 
-@partial(jax.jit, static_argnames=("space", "k", "chunk", "precision"))
-def _knn_device_twopass(space, qenc, data, k: int, chunk: int, precision: str):
+#: Certificate error coefficients: |bf16-pass dot - exact dot| <=
+#: coeff * |q| * |x| (2-norms). MXU f32 matmuls run as bf16 passes:
+#: 'high' = bf16x3 omits the lo*lo cross term (|lo| <= 2^-8 |v|
+#: elementwise, so the omitted term is <= 2^-16 |q||x| by Cauchy-
+#: Schwarz); 'bfloat16' = single pass, both inputs rounded
+#: (<= (2u + u^2) |q||x|, u = 2^-8). Coefficients carry 4x headroom
+#: over the theory bound to absorb f32 pass/accumulation rounding.
+_PASS1_ERR_COEFF = {"high": 2.0**-14, "bfloat16": 2.0**-5.5}
+#: Extra rescan groups per tier (pass-2 cost vs certificate pass rate).
+_PASS1_MARGIN = {"float32": 2, "high": 2, "bfloat16": 16}
+
+
+def _certificate_ok(vals, k: int, eps):
+    """Exactness certificate for reduced-precision pass 1.
+
+    ``vals``: ascending reduced-precision group mins f32[Q, kg+1] (the
+    kg selected groups' mins plus the first unselected one);
+    ``eps``: f32[Q] rigorous bound on |reduced-precision - exact| score.
+
+    An unselected group g has reduced min >= vals[:, kg], hence true min
+    >= vals[:, kg] - eps. The true k-th best distance tau is at most the
+    k-th smallest true group min <= vals[:, k-1] + eps. Group g can
+    contain a true top-k entry only if its true min <= tau, so when
+    vals[:, kg] > vals[:, k-1] + 2*eps for every query, the selected
+    groups provably contain the exact top-k."""
+    return jnp.all(vals[:, -1] > vals[:, k - 1] + 2.0 * eps)
+
+
+@partial(
+    jax.jit, static_argnames=("space", "k", "chunk", "precision", "pass1_precision")
+)
+def _knn_device_twopass(
+    space, qenc, data, k: int, chunk: int, precision: str, pass1_precision: str = "float32"
+):
     """Two-pass exact scan.
 
     Pass 1 keeps only each 128-column group's min of the distance block:
@@ -58,7 +90,17 @@ def _knn_device_twopass(space, qenc, data, k: int, chunk: int, precision: str):
     [Q, N/128] mins selects (k+margin) groups whose contiguous 128-row
     blocks are gathered (64KB granules) and re-scored exactly with
     block(). Measured ~4x faster end-to-end than per-chunk lax.top_k at
-    SIFT-1M scale on a v5e."""
+    SIFT-1M scale on a v5e.
+
+    ``pass1_precision`` in {'float32', 'high', 'bfloat16'} runs pass 1
+    at a reduced MXU precision *without losing exactness*: a per-query
+    certificate checks that every unselected group's min exceeds the
+    k-th selected min by more than twice the rigorous rounding-error
+    bound (see _PASS1_ERR_COEFF) — if any query fails, a lax.cond
+    branch recomputes pass 1 at full f32 inside the same program (no
+    host round-trip). Pass 2 always re-scores at full precision, so the
+    returned distances are identical to the f32 path bit-for-bit.
+    """
     from ..ops import pallas_scan as PS
     from ..ops.graph import gather_row_groups, score_gathered
 
@@ -67,7 +109,9 @@ def _knn_device_twopass(space, qenc, data, k: int, chunk: int, precision: str):
     num_chunks = n_pad // chunk
 
     aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
-    if aff is not None and PS.supported() and n_pad % 2048 == 0:
+    kernel_ok = aff is not None and PS.supported() and n_pad % 2048 == 0
+
+    def pass1_kernel(prec: str):
         scale, sq, sx = aff
         qt = qenc.get("q_term")
         qt = jnp.zeros(nq, jnp.float32) if (qt is None or sq == 0.0) else sq * qt
@@ -80,49 +124,90 @@ def _knn_device_twopass(space, qenc, data, k: int, chunk: int, precision: str):
             qv = jnp.concatenate([qv, jnp.zeros((qp8 - nq, qv.shape[1]), qv.dtype)], 0)
             qt = jnp.concatenate([qt, jnp.zeros(qp8 - nq, jnp.float32)], 0)
         tq = 256 if qp8 % 256 == 0 else qp8
-        mins = PS.fused_groupmin(qv, data.vecs, qt, xt, scale, tq=tq)[:nq]
-    else:
+        return PS.fused_groupmin(qv, data.vecs, qt, xt, scale, tq=tq, precision=prec)[
+            :nq
+        ]
+
+    def pass1_jnp():
         def step(_, ci):
             xc = space.slice_data(data, ci * chunk, chunk)
             dd = space.block(qenc, xc, precision)
             return None, jnp.min(dd.reshape(nq, chunk // T.GROUP, T.GROUP), axis=2)
 
         _, mins = jax.lax.scan(step, None, jnp.arange(num_chunks))
-        mins = jnp.moveaxis(mins, 0, 1).reshape(nq, -1)
+        return jnp.moveaxis(mins, 0, 1).reshape(nq, -1)
 
-    kg = min(k + 2, mins.shape[1])
-    _, gsel = jax.lax.top_k(-mins, kg)  # [Q, kg] group indices
     corpus = space.corpus_dict(data)
 
-    # pass 2 in query blocks: [B, kg*128, D] gathered rows bound memory
-    qblk = min(1024, nq)
-    qp = ((nq + qblk - 1) // qblk) * qblk
+    def pass2(gsel):
+        """Gather the selected groups' contiguous rows, re-score exactly."""
+        kg = gsel.shape[1]
+        # query blocks: [B, kg*128, D] gathered rows bound memory
+        qblk = min(1024, nq)
+        qp = ((nq + qblk - 1) // qblk) * qblk
 
-    def padq(v):
-        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == nq:
-            pad = jnp.zeros((qp - nq,) + v.shape[1:], v.dtype)
-            return jnp.concatenate([v, pad], 0).reshape((qp // qblk, qblk) + v.shape[1:])
-        return v
+        def padq(v):
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == nq:
+                pad = jnp.zeros((qp - nq,) + v.shape[1:], v.dtype)
+                return jnp.concatenate([v, pad], 0).reshape(
+                    (qp // qblk, qblk) + v.shape[1:]
+                )
+            return v
 
-    qenc_b = {kk_: padq(v) for kk_, v in qenc.items()}
-    gsel_b = padq(gsel)
+        qenc_b = {kk_: padq(v) for kk_, v in qenc.items()}
+        gsel_b = padq(gsel)
 
-    def blk(args):
-        qe_raw, gs = args
-        qe = {kk_: (qe_raw[kk_] if kk_ in qe_raw else qenc[kk_]) for kk_ in qenc}
-        rows, padv, extras, cols = gather_row_groups(corpus, gs, T.GROUP)
-        d = score_gathered(space, qe, rows, padv, extras)  # [B, kg*128]
-        dk, sel = T.smallest_k(d, k)
-        return dk, jnp.take_along_axis(cols, sel, 1)
+        def blk(args):
+            qe_raw, gs = args
+            qe = {kk_: (qe_raw[kk_] if kk_ in qe_raw else qenc[kk_]) for kk_ in qenc}
+            rows, padv, extras, cols = gather_row_groups(corpus, gs, T.GROUP)
+            d = score_gathered(space, qe, rows, padv, extras)  # [B, kg*128]
+            dk, sel = T.smallest_k(d, k)
+            return dk, jnp.take_along_axis(cols, sel, 1)
 
-    mapped_qenc = {
-        kk_: v
-        for kk_, v in qenc_b.items()
-        if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[:2] == (qp // qblk, qblk)
-    }
-    dk, pos = jax.lax.map(blk, (mapped_qenc, gsel_b))
-    dk = dk.reshape(qp, k)[:nq]
-    pos = pos.reshape(qp, k)[:nq]
+        mapped_qenc = {
+            kk_: v
+            for kk_, v in qenc_b.items()
+            if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[:2] == (qp // qblk, qblk)
+        }
+        dk, pos = jax.lax.map(blk, (mapped_qenc, gsel_b))
+        return dk.reshape(qp, k)[:nq], pos.reshape(qp, k)[:nq]
+
+    n_groups = n_pad // T.GROUP
+    use_cert = (
+        kernel_ok
+        and pass1_precision != "float32"
+        and data.vecs.dtype != jnp.int8  # int8 pass 1 is already exact
+        and min(k + _PASS1_MARGIN[pass1_precision], n_groups) + 1 <= n_groups
+    )
+    if not use_cert:
+        mins = pass1_kernel("float32") if kernel_ok else pass1_jnp()
+        kg = min(k + _PASS1_MARGIN["float32"], n_groups)
+        _, gsel = jax.lax.top_k(-mins, kg)  # [Q, kg] group indices
+        dk, pos = pass2(gsel)
+    else:
+        mins = pass1_kernel(pass1_precision)
+        kg = min(k + _PASS1_MARGIN[pass1_precision], n_groups)
+        negv, gsel1 = jax.lax.top_k(-mins, kg + 1)
+        vals = -negv  # ascending group mins
+        scale = aff[0]
+        q_norm = jnp.sqrt(jnp.sum(qenc["q"].astype(jnp.float32) ** 2, axis=1))
+        x_max_sq = data.extra.get("max_sq_norm")
+        if x_max_sq is None:
+            x_max_sq = jnp.max(jnp.sum(data.vecs.astype(jnp.float32) ** 2, axis=1))
+        eps = _PASS1_ERR_COEFF[pass1_precision] * abs(scale) * q_norm * jnp.sqrt(
+            x_max_sq
+        )
+        ok = _certificate_ok(vals, k, eps)
+
+        def exact_branch():
+            mins_h = pass1_kernel("float32")
+            kg_h = min(k + _PASS1_MARGIN["float32"], n_groups)
+            _, gsel_h = jax.lax.top_k(-mins_h, kg_h)
+            return pass2(gsel_h)
+
+        dk, pos = jax.lax.cond(ok, lambda: pass2(gsel1[:, :kg]), exact_branch)
+
     pos = jnp.where(jnp.isinf(dk), -1, pos)
     ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, n_pad - 1)], -1)
     return dk, ids, pos
@@ -160,6 +245,12 @@ class SeqSearch(Method):
         self.thread_qty = pm.get("threadQty", 0, int)
         self.chunk = pm.get("chunkSize", 0, int)
         self.precision = pm.get("precision", "float32", str)
+        # pass-1 MXU precision for the two-pass scan; certified exact at
+        # every tier (see _knn_device_twopass), so the fast default is safe
+        # even for gold-standard generation.
+        self.pass1_precision = pm.get("pass1Precision", "high", str)
+        if self.pass1_precision not in ("float32", "high", "bfloat16"):
+            raise ValueError(f"bad pass1Precision {self.pass1_precision!r}")
         pm.check_unused()
 
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
@@ -191,8 +282,20 @@ class SeqSearch(Method):
             and n_pad % 128 == 0
             and n_pad >= 8 * (kk + 2) * 128
         )
-        fn = _knn_device_twopass if use_twopass else _knn_device
-        d, ids, _ = fn(self.space, qenc, self.data, kk, self._chunk, self.precision)
+        if use_twopass:
+            d, ids, _ = _knn_device_twopass(
+                self.space,
+                qenc,
+                self.data,
+                kk,
+                self._chunk,
+                self.precision,
+                self.pass1_precision,
+            )
+        else:
+            d, ids, _ = _knn_device(
+                self.space, qenc, self.data, kk, self._chunk, self.precision
+            )
         if kk < k:  # keep the requested width; extras are masked
             padw = k - kk
             d = jnp.pad(d, ((0, 0), (0, padw)), constant_values=jnp.inf)

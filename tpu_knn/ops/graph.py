@@ -68,7 +68,7 @@ def gather_rows(corpus: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array, dic
     if corpus.get("term") is not None:
         extra_sl["x_term"] = corpus["term"][safe]
     for key, arr in corpus.items():
-        if key not in _NON_GATHER_KEYS and hasattr(arr, "ndim"):
+        if key not in _NON_GATHER_KEYS and getattr(arr, "ndim", 0) >= 1:
             extra_sl[key] = arr[safe]
     return rows, pad, extra_sl
 
@@ -99,7 +99,7 @@ def gather_row_groups(corpus: dict, gsel: jax.Array, group: int = 128):
     if corpus.get("term") is not None:
         extra_sl["x_term"] = expand(corpus["term"])
     for key, arr in corpus.items():
-        if key not in _NON_GATHER_KEYS and hasattr(arr, "ndim"):
+        if key not in _NON_GATHER_KEYS and getattr(arr, "ndim", 0) >= 1:
             extra_sl[key] = expand(arr)
     return rows, pad, extra_sl, cols
 

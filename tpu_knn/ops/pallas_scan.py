@@ -27,20 +27,54 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128
 
 
-def _kernel(q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc: int):
+_DIMS = (((1,), (1,)), ((), ()))
+
+
+def _bf16_dot(a, b):
+    """Single-pass bf16 MXU matmul with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _kernel(
+    q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc: int, prec: str
+):
+    """Pass-1 precision tiers for f32 inputs (Mosaic only lowers DEFAULT
+    and HIGHEST dot precisions, so bf16x3 is spelled out manually):
+      'float32'  — Precision.HIGHEST: bf16x6 passes, exact f32;
+      'high'     — manual bf16x3: hi/lo split, omits only the lo*lo term
+                   (error <= 2^-16 |q||x| by Cauchy-Schwarz, ~2x faster);
+      'bfloat16' — single bf16 pass (error <= ~2^-7 |q||x|, ~6x faster).
+    The two-pass scan stays provably exact at the reduced tiers via the
+    certificate in methods/seq_search.py."""
     if q_ref.dtype == jnp.int8:
         # MXU int8 path (l2sqr_sift): exact i32 accumulation, ~4x f32 rate
         g = jax.lax.dot_general(
             q_ref[:],
             x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=_DIMS,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
+    elif prec == "bfloat16":
+        g = _bf16_dot(q_ref[:], x_ref[:])
+    elif prec == "high":
+        q = q_ref[:]
+        x = x_ref[:]
+        q_hi = q.astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        q_lo = q - q_hi.astype(jnp.float32)
+        x_lo = x - x_hi.astype(jnp.float32)
+        g = _bf16_dot(q_hi, x_hi) + (_bf16_dot(q_hi, x_lo) + _bf16_dot(q_lo, x_hi))
     else:
         g = jax.lax.dot_general(
             q_ref[:],
             x_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=_DIMS,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -51,7 +85,9 @@ def _kernel(q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc:
     out_ref[:] = mins.T
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "tq", "tc", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "tq", "tc", "interpret", "precision")
+)
 def fused_groupmin(
     q: jax.Array,  # f32/int8[Q, D] (D multiple of 128)
     x: jax.Array,  # f32/int8[N, D] (N multiple of tc)
@@ -61,6 +97,7 @@ def fused_groupmin(
     tq: int = 256,
     tc: int = 2048,
     interpret: bool = False,  # CPU-testable interpreter mode
+    precision: str = "float32",
 ) -> jax.Array:
     """Group mins f32[Q, N/128] of the factored distance block."""
     qn, d = q.shape
@@ -68,7 +105,7 @@ def fused_groupmin(
     tq = min(tq, qn)
     tc = min(tc, n)
     grid = (qn // tq, n // tc)
-    kern = functools.partial(_kernel, scale=scale, tq=tq, tc=tc)
+    kern = functools.partial(_kernel, scale=scale, tq=tq, tc=tc, prec=precision)
     flops = 2 * qn * n * d
     out = pl.pallas_call(
         kern,

@@ -114,6 +114,12 @@ class DenseSpace(Space):
             row_term=None if row_term is None else jnp.asarray(row_term),
         )
         data.extra["pad"] = jnp.asarray(pad)
+        # max squared row norm of the *transformed* matrix: feeds the
+        # reduced-precision pass-1 exactness certificate (seq_search).
+        # 1.01 headroom covers the f32 reduction itself.
+        if n > 0:
+            mx = float(np.einsum("ij,ij->i", xt, xt).max()) * 1.01
+            data.extra["max_sq_norm"] = jnp.float32(mx)
         return data
 
     def encode_queries(self, points) -> dict:
@@ -133,7 +139,8 @@ class DenseSpace(Space):
         if data.row_term is not None:
             xc["x_term"] = jax.lax.dynamic_slice_in_dim(data.row_term, start, size, 0)
         for k, v in data.extra.items():
-            if k not in ("pad",) and hasattr(v, "ndim"):
+            # per-row arrays only; 0-d entries (max_sq_norm) are metadata
+            if k not in ("pad",) and getattr(v, "ndim", 0) >= 1:
                 xc[k] = jax.lax.dynamic_slice_in_dim(v, start, size, 0)
         return xc
 
