@@ -292,6 +292,76 @@ int tk_levenshtein(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb) {
   return prev[(size_t)la];
 }
 
+// ---------------------------------------------------------------------------
+// fvecs/bvecs/ivecs readers: the standard ANN benchmark binary format
+// (SIFT-1M, GIST, GloVe conversions) — each record is
+// [dim:int32][dim * elem] with elem f32 (fvecs), u8 (bvecs) or i32
+// (ivecs). The reference reads its vector data through
+// ReadVecDataEfficiently (include/read_data.h); these are the binary
+// counterparts, threaded over record stripes.
+// ---------------------------------------------------------------------------
+
+// Pass 1: rows and dim. -1 IO error, -2 malformed (size not a whole
+// number of records or non-positive dim).
+int tk_vecs_shape(const char* path, int64_t elem_size, int64_t* rows,
+                  int64_t* dim) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int32_t d = 0;
+  if (fread(&d, 4, 1, f) != 1 || d <= 0) { fclose(f); return -2; }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fclose(f);
+  int64_t rec = 4 + (int64_t)d * elem_size;
+  if (sz % rec != 0) return -2;
+  *rows = sz / rec;
+  *dim = d;
+  return 0;
+}
+
+// Pass 2: strided copy into the caller's [rows, dim] element buffer,
+// validating every record's dim field. -3 row-count mismatch, -4 dim
+// mismatch mid-file.
+int tk_vecs_read(const char* path, int64_t elem_size, void* out,
+                 int64_t rows, int64_t dim, int nthreads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  int64_t rec = 4 + dim * elem_size;
+  if (sz != rows * rec) { fclose(f); return -3; }
+  std::vector<char> data((size_t)sz);
+  if (sz > 0 && fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::atomic<int> err{0};
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const char* p = data.data() + i * rec;
+      int32_t d;
+      memcpy(&d, p, 4);
+      if (d != dim) { err.store(-4); return; }
+      memcpy((char*)out + i * dim * elem_size, p + 4,
+             (size_t)(dim * elem_size));
+    }
+  };
+  std::vector<std::thread> ths;
+  int64_t step = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * step, hi = std::min<int64_t>(rows, lo + step);
+    if (lo >= hi) break;
+    ths.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : ths) th.join();
+  return err.load();
+}
+
 // Binary object-vector persistence (WriteObjectVectorBinData /
 // ReadObjectVectorFromBinData analog, include/space.h:223-231): a tiny
 // header + raw rows. Kept trivial: Python memory-maps through numpy; the

@@ -60,3 +60,45 @@ def test_native_levenshtein():
     assert native.levenshtein(b"kitten", b"sitting") == 3
     assert native.levenshtein(b"", b"abc") == 3
     assert native.levenshtein(b"same", b"same") == 0
+
+
+def test_vecs_roundtrip(tmp_path):
+    """fvecs/bvecs/ivecs (ANN benchmark binary format) read/write, both
+    the native reader and the numpy fallback."""
+    import numpy as np
+
+    from tpu_knn.io import native as N
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((50, 9)) * 10).astype(np.float32)
+    for kind, arr in (
+        ("fvecs", x),
+        ("bvecs", (x * 20).astype(np.uint8)),
+        ("ivecs", (x * 100).astype(np.int32)),
+    ):
+        p = str(tmp_path / f"t.{kind}")
+        N.write_vecs(p, arr)
+        got = N.read_vecs(p)
+        np.testing.assert_array_equal(got, arr)
+        # numpy fallback path must agree byte-for-byte
+        lib, N._lib = N._lib, None
+        orig = N.load
+        N.load = lambda: None
+        try:
+            np.testing.assert_array_equal(N.read_vecs(p), arr)
+        finally:
+            N.load = orig
+            N._lib = lib
+
+
+def test_vecs_malformed(tmp_path):
+    import numpy as np
+    import pytest
+
+    from tpu_knn.io import native as N
+
+    p = str(tmp_path / "bad.fvecs")
+    with open(p, "wb") as f:
+        f.write(np.int32(3).tobytes() + b"\x00" * 7)  # truncated record
+    with pytest.raises(IOError):
+        N.read_vecs(p)

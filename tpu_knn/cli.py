@@ -33,20 +33,28 @@ def _parse_kv(s: str) -> Params:
     return Params([kv.strip() for kv in s.split(",") if kv.strip()])
 
 
+def _read_dense(path: str) -> np.ndarray:
+    """Dense matrix from whitespace text or fvecs/bvecs/ivecs binary
+    (by extension)."""
+    if path.rsplit(".", 1)[-1].lower() in ("fvecs", "bvecs", "ivecs"):
+        from .io.native import read_vecs
+
+        return read_vecs(path)
+    from .io.native import read_dense_text
+
+    return read_dense_text(path)
+
+
 def _load_store(space, path: str, max_num: int) -> DataStore:
     kind = space.data_kind
     store = DataStore(kind)
     if kind is DataKind.DENSE:
-        from .io.native import read_dense_text
-
-        mat = read_dense_text(path)
+        mat = _read_dense(path).astype(np.float32, copy=False)
         if max_num:
             mat = mat[:max_num]
         store.add_dense_batch(mat)
     elif kind is DataKind.UINT8:
-        from .io.native import read_dense_text
-
-        mat = read_dense_text(path).astype(np.uint8)
+        mat = _read_dense(path).astype(np.uint8)
         if max_num:
             mat = mat[:max_num]
         store.add_uint8_batch(mat)

@@ -67,6 +67,15 @@ def load():
     ]
     lib.tk_levenshtein.argtypes = [c.POINTER(c.c_uint8), c.c_int64, c.POINTER(c.c_uint8), c.c_int64]
     lib.tk_levenshtein.restype = c.c_int
+    try:
+        lib.tk_vecs_shape.argtypes = [
+            c.c_char_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64)
+        ]
+        lib.tk_vecs_read.argtypes = [
+            c.c_char_p, c.c_int64, c.c_void_p, c.c_int64, c.c_int64, c.c_int
+        ]
+    except AttributeError:  # stale .so without the vecs readers
+        pass
     _lib = lib
     return _lib
 
@@ -98,6 +107,60 @@ def read_dense_text(path: str, nthreads: int = 0) -> np.ndarray:
     if rc != 0:
         raise IOError(f"tk_dense_text_read({path}) failed: {rc}")
     return out
+
+
+# ---------------- fvecs / bvecs / ivecs (ANN benchmark binary) ----------------
+
+_VECS_DTYPES = {"fvecs": np.float32, "bvecs": np.uint8, "ivecs": np.int32}
+
+
+def read_vecs(path: str, kind: str | None = None, nthreads: int = 0) -> np.ndarray:
+    """Read an fvecs/bvecs/ivecs file ([dim:i32][dim*elem] records — the
+    SIFT-1M / GIST benchmark format) into an [n, dim] array. ``kind``
+    defaults to the file extension."""
+    kind = kind or os.path.splitext(path)[1].lstrip(".").lower()
+    if kind not in _VECS_DTYPES:
+        raise ValueError(f"unknown vecs kind {kind!r} (expected fvecs/bvecs/ivecs)")
+    dtype = _VECS_DTYPES[kind]
+    esz = np.dtype(dtype).itemsize
+    lib = load()
+    if lib is None or not hasattr(lib, "tk_vecs_shape"):
+        raw = np.fromfile(path, dtype=np.uint8)
+        if raw.size == 0:
+            return np.zeros((0, 0), dtype)
+        d = int(raw[:4].view(np.int32)[0])
+        rec = 4 + d * esz
+        if d <= 0 or raw.size % rec != 0:
+            raise IOError(f"malformed {kind} file {path}")
+        mat = raw.reshape(-1, rec)
+        if not np.all(mat[:, :4].copy().view(np.int32)[:, 0] == d):
+            raise IOError(f"inconsistent dims in {path}")
+        return mat[:, 4:].copy().view(dtype).reshape(-1, d)
+    rows = ctypes.c_int64()
+    dim = ctypes.c_int64()
+    rc = lib.tk_vecs_shape(path.encode(), esz, ctypes.byref(rows), ctypes.byref(dim))
+    if rc != 0:
+        raise IOError(f"tk_vecs_shape({path}) failed: {rc}")
+    out = np.empty((rows.value, dim.value), dtype)
+    rc = lib.tk_vecs_read(
+        path.encode(), esz, out.ctypes.data_as(ctypes.c_void_p),
+        rows.value, dim.value, nthreads,
+    )
+    if rc != 0:
+        raise IOError(f"tk_vecs_read({path}) failed: {rc}")
+    return out
+
+
+def write_vecs(path: str, mat: np.ndarray, kind: str | None = None) -> None:
+    """Write [n, dim] data in fvecs/bvecs/ivecs record format."""
+    kind = kind or os.path.splitext(path)[1].lstrip(".").lower()
+    dtype = _VECS_DTYPES[kind]
+    mat = np.ascontiguousarray(mat, dtype)
+    n, d = mat.shape
+    rec = np.empty((n, 4 + d * mat.itemsize), np.uint8)
+    rec[:, :4] = np.full((n, 1), d, np.int32).view(np.uint8)
+    rec[:, 4:] = mat.view(np.uint8).reshape(n, -1)
+    rec.tofile(path)
 
 
 # ---------------- sparse text ----------------

@@ -46,16 +46,54 @@ def _knn_device(space, qenc, data, k: int, chunk: int, precision: str):
     return d, ids, pos
 
 
-#: Certificate error coefficients: |bf16-pass dot - exact dot| <=
-#: coeff * |q| * |x| (2-norms). MXU f32 matmuls run as bf16 passes:
-#: 'high' = bf16x3 omits the lo*lo cross term (|lo| <= 2^-8 |v|
-#: elementwise, so the omitted term is <= 2^-16 |q||x| by Cauchy-
-#: Schwarz); 'bfloat16' = single pass, both inputs rounded
-#: (<= (2u + u^2) |q||x|, u = 2^-8). Coefficients carry 4x headroom
-#: over the theory bound to absorb f32 pass/accumulation rounding.
+#: Worst-case certificate coefficients (|err| <= coeff * |q| * |x|),
+#: used only when the encode-time residual norms are unavailable. The
+#: data-adaptive bound in _pass1_eps is ~10x tighter and is what makes
+#: the certificate actually pass on real data.
 _PASS1_ERR_COEFF = {"high": 2.0**-14, "bfloat16": 2.0**-5.5}
-#: Extra rescan groups per tier (pass-2 cost vs certificate pass rate).
-_PASS1_MARGIN = {"float32": 2, "high": 2, "bfloat16": 16}
+#: Extra rescan groups per tier (pass-2 cost vs certificate pass rate;
+#: each extra group costs 64KB of pass-2 gather per query).
+_PASS1_MARGIN = {"float32": 2, "high": 2, "bfloat16": 8}
+
+
+def _pass1_eps(qv, data, scale: float, tier: str):
+    """Rigorous per-query bound on |reduced-precision pass-1 score -
+    f32 score|, data-adaptive via exactly-computed bf16 rounding
+    residuals (Cauchy-Schwarz on the actual omitted terms).
+
+    Writing q = hi_q + lo_q with hi_q = bf16(q) (same for x), the
+    kernel computes ('high' tier, ops/pallas_scan.py):
+        hi_q.hi_x + hi_q.bf16(lo_x) + bf16(lo_q).hi_x
+    so the deviation from the true dot is
+        lo_q.lo_x + hi_q.(lo_x - bf16(lo_x)) + (lo_q - bf16(lo_q)).hi_x
+    bounded by |lo_q|*X_LO + |q|*X_BLE + Q_BLE*X_N with the row maxima
+    X_LO = max|x - bf16(x)|, X_BLE = max|lo_x - bf16(lo_x)|, X_N =
+    max|x| computed at encode time (spaces/dense.py). The 'bfloat16'
+    tier computes hi_q.hi_x, deviating by hi_q.lo_x + lo_q.hi_x +
+    lo_q.lo_x. A 2^-22 |q||x| term absorbs the f32 accumulation of the
+    bf16 partial products (the f32 pass-1 path has the same-order
+    reduction jitter, absorbed by the selection margin there too)."""
+    qf = qv.astype(jnp.float32)
+    q_norm = jnp.sqrt(jnp.sum(qf * qf, axis=1))
+    x_n_sq = data.extra.get("max_sq_norm")
+    if x_n_sq is None:
+        x_n_sq = jnp.max(jnp.sum(data.vecs.astype(jnp.float32) ** 2, axis=1))
+    x_n = jnp.sqrt(x_n_sq)
+    x_lo = data.extra.get("max_lo_norm")
+    if x_lo is None:  # coarse worst-case fallback
+        return _PASS1_ERR_COEFF[tier] * abs(scale) * q_norm * x_n
+    x_ble = data.extra.get("max_blo_err", x_lo)
+    q_hi = qf.astype(jnp.bfloat16).astype(jnp.float32)
+    q_lo = qf - q_hi
+    q_lo_norm = jnp.sqrt(jnp.sum(q_lo * q_lo, axis=1))
+    if tier == "high":
+        q_ble = q_lo - q_lo.astype(jnp.bfloat16).astype(jnp.float32)
+        q_ble_norm = jnp.sqrt(jnp.sum(q_ble * q_ble, axis=1))
+        err = q_lo_norm * x_lo + q_norm * x_ble + q_ble_norm * x_n
+    else:  # single-pass bf16
+        err = (q_norm + q_lo_norm) * x_lo + q_lo_norm * (x_n + x_lo)
+    acc = (2.0**-22) * q_norm * x_n  # f32 accumulation slack
+    return abs(scale) * (1.5 * err + acc)
 
 
 def _certificate_ok(vals, k: int, eps):
@@ -180,6 +218,7 @@ def _knn_device_twopass(
         and data.vecs.dtype != jnp.int8  # int8 pass 1 is already exact
         and min(k + _PASS1_MARGIN[pass1_precision], n_groups) + 1 <= n_groups
     )
+    ok = jnp.bool_(True)  # certificate outcome (diagnostic 4th output)
     if not use_cert:
         mins = pass1_kernel("float32") if kernel_ok else pass1_jnp()
         kg = min(k + _PASS1_MARGIN["float32"], n_groups)
@@ -190,14 +229,7 @@ def _knn_device_twopass(
         kg = min(k + _PASS1_MARGIN[pass1_precision], n_groups)
         negv, gsel1 = jax.lax.top_k(-mins, kg + 1)
         vals = -negv  # ascending group mins
-        scale = aff[0]
-        q_norm = jnp.sqrt(jnp.sum(qenc["q"].astype(jnp.float32) ** 2, axis=1))
-        x_max_sq = data.extra.get("max_sq_norm")
-        if x_max_sq is None:
-            x_max_sq = jnp.max(jnp.sum(data.vecs.astype(jnp.float32) ** 2, axis=1))
-        eps = _PASS1_ERR_COEFF[pass1_precision] * abs(scale) * q_norm * jnp.sqrt(
-            x_max_sq
-        )
+        eps = _pass1_eps(qenc["q"], data, aff[0], pass1_precision)
         ok = _certificate_ok(vals, k, eps)
 
         def exact_branch():
@@ -210,7 +242,7 @@ def _knn_device_twopass(
 
     pos = jnp.where(jnp.isinf(dk), -1, pos)
     ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, n_pad - 1)], -1)
-    return dk, ids, pos
+    return dk, ids, pos, ok
 
 
 @partial(jax.jit, static_argnames=("space", "chunk", "precision"))
@@ -283,7 +315,7 @@ class SeqSearch(Method):
             and n_pad >= 8 * (kk + 2) * 128
         )
         if use_twopass:
-            d, ids, _ = _knn_device_twopass(
+            d, ids, _, _ = _knn_device_twopass(
                 self.space,
                 qenc,
                 self.data,

@@ -114,12 +114,26 @@ class DenseSpace(Space):
             row_term=None if row_term is None else jnp.asarray(row_term),
         )
         data.extra["pad"] = jnp.asarray(pad)
-        # max squared row norm of the *transformed* matrix: feeds the
-        # reduced-precision pass-1 exactness certificate (seq_search).
-        # 1.01 headroom covers the f32 reduction itself.
+        # Certificate metadata for the reduced-precision pass-1 scan
+        # (methods/seq_search.py): max squared row norm of the
+        # *transformed* matrix, plus the exactly-computed bf16 rounding
+        # residual norms — |x - bf16(x)| per row and the second-level
+        # residual |lo - bf16(lo)| — which give a data-adaptive
+        # Cauchy-Schwarz error bound ~10x tighter than the worst-case
+        # u*|q||x| coefficient. 1.01 headroom covers the f32 reductions.
         if n > 0:
+            import ml_dtypes
+
             mx = float(np.einsum("ij,ij->i", xt, xt).max()) * 1.01
             data.extra["max_sq_norm"] = jnp.float32(mx)
+            lo = xt - xt.astype(ml_dtypes.bfloat16).astype(np.float32)
+            lo_sq = np.einsum("ij,ij->i", lo, lo)
+            data.extra["max_lo_norm"] = jnp.float32(float(np.sqrt(lo_sq.max())) * 1.01)
+            ble = lo - lo.astype(ml_dtypes.bfloat16).astype(np.float32)
+            ble_sq = np.einsum("ij,ij->i", ble, ble)
+            data.extra["max_blo_err"] = jnp.float32(
+                float(np.sqrt(ble_sq.max())) * 1.01
+            )
         return data
 
     def encode_queries(self, points) -> dict:
