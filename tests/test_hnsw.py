@@ -131,3 +131,40 @@ def test_hnsw_ef_autotune(corpus):
     d, i = idx.knn_query_batch(x[:60], 5)
     rec = np.mean([len(set(gi[r]) & set(i[r])) / 5 for r in range(60)])
     assert rec >= 0.85
+
+
+def test_replicate_neighbors_matches_plain():
+    """replicateNeighbors=1 (bf16 neighborhood store + exact final
+    rescore) must agree with the plain gather path: same clustered data,
+    near-identical recall, exact distances for agreeing ids."""
+    import numpy as np
+
+    from tpu_knn import Index, Params
+    from tpu_knn.eval.datasets import clustered
+
+    x = clustered(4000, 32, n_clusters=40, latent_dim=8, seed=5)
+    q = x[:64] + 0.01
+
+    base = Index("l2", Params(dim=32), method="hnsw")
+    base.add_dense_batch(x)
+    base.build_index(Params(M=8, efConstruction=50, waveSize=256, seed=3))
+    d0, i0 = base.knn_query_batch(q, 10)
+
+    rep = Index("l2", Params(dim=32), method="hnsw")
+    rep.add_dense_batch(x)
+    rep.build_index(
+        Params(M=8, efConstruction=50, waveSize=256, seed=3, replicateNeighbors=1)
+    )
+    d1, i1 = rep.knn_query_batch(q, 10)
+
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i0, i1)])
+    assert overlap > 0.95, overlap
+    # exact rescore: distances for common ids must match the plain path
+    # up to the norm-identity cancellation floor (d^2 = |q|^2+|x|^2-2qx
+    # loses ~eps*(|q|^2+|x|^2) absolute on d^2 — both paths sit at that
+    # floor with different summation orders)
+    for a_ids, a_d, b_ids, b_d in zip(i0, d0, i1, d1):
+        bm = {int(i): float(v) for i, v in zip(b_ids, b_d)}
+        for i, v in zip(a_ids, a_d):
+            if int(i) in bm:
+                np.testing.assert_allclose(bm[int(i)], float(v), rtol=5e-3, atol=1e-5)

@@ -275,7 +275,10 @@ def make_wave_step(
 
 
 @partial(jax.jit, static_argnames=("space", "ef", "k", "expand"))
-def _hnsw_search(space, qenc, data, level0, upper, entry, ef: int, k: int, expand: int):
+def _hnsw_search(
+    space, qenc, data, level0, upper, entry, ef: int, k: int, expand: int,
+    nbr_store=None,
+):
     corpus = _corpus_dict(space, data)
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
     cur = jnp.full(b, entry, jnp.int32)
@@ -283,9 +286,23 @@ def _hnsw_search(space, qenc, data, level0, upper, entry, ef: int, k: int, expan
     for adj in reversed(upper):
         cur, cur_d = G.greedy_descent(space, qenc, corpus, adj, None, cur, cur_d)
     beam_d, beam_i, nd = G.beam_search(
-        space, qenc, corpus, level0, None, cur, ef=ef, expand=expand
+        space, qenc, corpus, level0, None, cur, ef=ef, expand=expand,
+        nbr_store=nbr_store,
     )
-    d, pos = beam_d[:, :k], beam_i[:, :k]
+    if nbr_store is not None:
+        # beam ordering used bf16-replicated rows; re-score a top slice
+        # exactly and re-sort so reported distances/ids are exact
+        kk = min(ef, k + 6)
+        sl_i = beam_i[:, :kk]
+        sl_d = G.score_rows(space, qenc, corpus, sl_i)
+        sl_d = jnp.where(sl_i < 0, INF, sl_d)
+        from ..ops.topk import smallest_k
+
+        d, sel = smallest_k(sl_d, k)
+        pos = jnp.take_along_axis(sl_i, sel, 1)
+        pos = jnp.where(jnp.isinf(d), -1, pos)
+    else:
+        d, pos = beam_d[:, :k], beam_i[:, :k]
     ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, data.ids.shape[0] - 1)], -1)
     return d, ids, nd
 
@@ -314,8 +331,14 @@ class Hnsw(Method):
         # per-iteration frontier cuts beam iterations ~3x at equal recall
         # (measured: build 89s -> 33s at 100k, recall unchanged)
         self.construction_expand = pm.get("constructionExpand", 16, int)
+        # DiskANN-style neighborhood replication: store each node's
+        # neighbors' vectors contiguously (bf16) so one beam expansion is
+        # one sequential HBM granule instead of maxM0 row gathers. Costs
+        # n*maxM0*d*2 bytes of HBM (8GB at 1M x 32 x 128) — opt-in.
+        self.replicate_neighbors = pm.get("replicateNeighbors", 0, int)
         self.seed = pm.get("seed", 0, int)
         pm.check_unused()
+        self._nbr_store = None
         # query-time defaults (reference: ef/efSearch default 20, hnsw.cc:483)
         self.ef_search = 20
         self._entry = 0  # global entry point (internal id; updated on delete)
@@ -483,6 +506,33 @@ class Hnsw(Method):
 
     # ---------------- search ----------------
 
+    def _nbr_store_ok(self) -> bool:
+        """Neighborhood replication needs dense float rows whose per-row
+        term is recomputable (or absent): corpus_dict must carry neither
+        a gathered 'term' nor a dynamic 'row_mask'."""
+        corpus = _corpus_dict(self.space, self.data)
+        vecs = corpus.get("vecs")
+        return (
+            "term" not in corpus
+            and "row_mask" not in corpus
+            and hasattr(vecs, "dtype")
+            and vecs.dtype in (jnp.float32, jnp.bfloat16)
+            and getattr(vecs, "ndim", 0) == 2
+        )
+
+    def _get_nbr_store(self):
+        """Lazy [n_pad, maxM0, d] bf16 replicated neighbor rows (level 0).
+        Cached keyed on the adjacency array's identity, so any graph
+        mutation (rebuild, sw-graph add/delete) rebuilds it."""
+        if not self.replicate_neighbors or not self._nbr_store_ok():
+            return None
+        adj = self.graph["level0"]
+        if self._nbr_store is None or self._nbr_store[0] is not adj:
+            vecs = self.data.vecs
+            safe = jnp.clip(adj, 0, vecs.shape[0] - 1)
+            self._nbr_store = (adj, vecs[safe].astype(jnp.bfloat16))
+        return self._nbr_store[1]
+
     def knn(self, points, k: int):
         if self.graph is None:
             raise IndexNotBuiltError("hnsw: index not built")
@@ -491,6 +541,7 @@ class Hnsw(Method):
         d, ids, nd = _hnsw_search(
             self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
             jnp.int32(self._entry), ef, k, self.expand,
+            nbr_store=self._get_nbr_store(),
         )
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
