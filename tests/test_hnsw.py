@@ -168,3 +168,24 @@ def test_replicate_neighbors_matches_plain():
         for i, v in zip(a_ids, a_d):
             if int(i) in bm:
                 np.testing.assert_allclose(bm[int(i)], float(v), rtol=5e-3, atol=1e-5)
+
+
+def test_graph_sanity_checkers():
+    """check_graph (reference checkList1) and degree_distribution
+    (getDegreeDistr) on a freshly built index."""
+    import numpy as np
+
+    from tpu_knn import Index, Params
+    from tpu_knn.eval.datasets import clustered
+
+    x = clustered(2000, 16, n_clusters=20, latent_dim=6, seed=1)
+    idx = Index("l2", Params(dim=16), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=6, efConstruction=40, waveSize=128))
+    chk = idx.method.check_graph()
+    assert chk == {"self_links": 0, "dup_links": 0, "oob_links": 0}, chk
+    hist = idx.method.degree_distribution()
+    assert hist.sum() == 2000
+    # a built graph must actually link things: mean degree near M
+    deg = np.average(np.arange(hist.shape[0]), weights=hist)
+    assert deg >= 3, deg

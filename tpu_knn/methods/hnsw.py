@@ -549,6 +549,35 @@ class Hnsw(Method):
     def range(self, points, radius):
         raise SpaceIncompatibleError("Range search is not supported!")
 
+    # ---------------- graph sanity checkers (test infra) ----------------
+
+    def check_graph(self) -> dict:
+        """Duplicate/self-link detector (reference: checkList1,
+        hnsw.cc:125-148). Returns counts; all zero for a healthy graph."""
+        if self.graph is None:
+            raise IndexNotBuiltError("hnsw: index not built")
+        n = self._n_total
+        out = {"self_links": 0, "dup_links": 0, "oob_links": 0}
+        adjs = [np.asarray(self.graph["level0"])[:n]] + [
+            np.asarray(u) for u in self._upper
+        ]
+        for adj in adjs:
+            rows = np.arange(adj.shape[0])[:, None]
+            valid = adj >= 0
+            out["self_links"] += int(np.sum((adj == rows) & valid))
+            out["oob_links"] += int(np.sum(valid & (adj >= n)))
+            s = np.sort(np.where(valid, adj, -np.arange(adj.size).reshape(adj.shape) - 1), axis=1)
+            out["dup_links"] += int(np.sum((s[:, 1:] == s[:, :-1]) & (s[:, 1:] >= 0)))
+        return out
+
+    def degree_distribution(self) -> np.ndarray:
+        """Level-0 out-degree histogram (reference: getDegreeDistr,
+        hnsw.cc:150-181). Returns counts indexed by degree 0..maxM0."""
+        if self.graph is None:
+            raise IndexNotBuiltError("hnsw: index not built")
+        deg = np.sum(np.asarray(self.graph["level0"])[: self._n_total] >= 0, axis=1)
+        return np.bincount(deg, minlength=self.maxM0 + 1)
+
     # ---------------- persistence ----------------
 
     def state_arrays(self) -> dict:
