@@ -67,3 +67,25 @@ def test_unknown_space_and_method():
     idx.add_dense_batch(np.zeros((2, 4), np.float32))
     with pytest.raises(InvalidArgumentError, match="unknown method"):
         idx.build_index()
+
+
+def test_query_batch_bucketing():
+    """Batch sizes are padded to power-of-two buckets; results must be
+    identical to the unbucketed path and correctly sliced."""
+    import numpy as np
+
+    from tpu_knn import Index, Params
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = Index("l2", Params(dim=8), method="seq_search")
+    idx.add_dense_batch(x)
+    for b in (1, 3, 8, 13, 50):
+        q = x[:b] + 0.001
+        d1, i1 = idx.knn_query_batch(q, 3)
+        assert d1.shape == (b, 3) and i1.shape == (b, 3)
+        idx.query_batch_bucketing = False
+        d2, i2 = idx.knn_query_batch(q, 3)
+        idx.query_batch_bucketing = True
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(d1, d2)

@@ -96,6 +96,8 @@ class Index:
         self._index_params: Params | None = None
         self._query_params: Params | None = None
         self._thread_pool_size = 0
+        #: pad query batches to power-of-two buckets (see knn_query_batch)
+        self.query_batch_bucketing = True
 
     # ---------------- validation (reference: lib.zig:351-378) ----------------
 
@@ -216,12 +218,30 @@ class Index:
         """Batched kNN: returns (dists[B,k], ids[B,k]); missing slots are
         (+inf, -1). The reference's batch API is a serial loop
         (nmslib_c.cpp:1003-1031); here the batch dimension is the TPU's
-        parallelism."""
+        parallelism.
+
+        Batch sizes are bucketed to the next power of two (padding with
+        copies of the first query, results sliced back) so ragged
+        workloads reuse compiled programs instead of recompiling per
+        shape — XLA keys the jit cache on the batch dimension. Set
+        ``index.query_batch_bucketing = False`` to disable. Distance-
+        computation counters reflect the padded (performed) work.
+        """
         if k <= 0:
             raise InvalidArgumentError("k must be positive")
         self._ensure_built()
         pts = self._prep_query_points(points)
+        b = len(pts)
+        bb = b
+        if self.query_batch_bucketing and b > 0:
+            bb = max(8, 1 << (b - 1).bit_length())
+        if bb != b:
+            if isinstance(pts, np.ndarray):
+                pts = np.concatenate([pts, np.repeat(pts[:1], bb - b, axis=0)], 0)
+            else:
+                pts = list(pts) + [pts[0]] * (bb - b)
         d, i = self.method.knn(pts, k)
+        d, i = d[:b], i[:b]
         if self.dist_type is DistKind.INT:
             d = np.where(np.isfinite(d), np.rint(d), d)
         return d, i

@@ -357,14 +357,26 @@ class Hnsw(Method):
             # ResetQueryTimeParams semantics (reference: index.h / hnsw.cc):
             # restore method defaults instead of keeping previous values
             self.ef_search = self.DEFAULT_EF_SEARCH
+            self._expand_user = False
             super().set_query_time_params(None)
             return
         pm = ParamManager(Params.of(params))
         self.ef_search = pm.get_synonym(["ef", "efSearch"], self.ef_search, int)
         pm.get("algoType", "hybrid", str)  # parity no-op: single search algo
-        self.expand = pm.get("searchExpand", self.expand, int)
+        if pm.has("searchExpand"):
+            self.expand = pm.get("searchExpand", self.expand, int)
+            self._expand_user = True
         pm.check_unused()
         super().set_query_time_params(params)
+
+    def _effective_expand(self, ef: int) -> int:
+        """Scale the per-iteration expansion width with ef unless the
+        user pinned searchExpand: the beam runs ~2*ef/expand iterations
+        and per-iteration loop overhead is ~1/3 of device time
+        (profiled), so wide beams expand more parents per step."""
+        if getattr(self, "_expand_user", False):
+            return self.expand
+        return max(self.expand, ef // 16)
 
     # ---------------- construction ----------------
 
@@ -540,7 +552,7 @@ class Hnsw(Method):
         ef = max(self.ef_search, k)
         d, ids, nd = _hnsw_search(
             self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
-            jnp.int32(self._entry), ef, k, self.expand,
+            jnp.int32(self._entry), ef, k, self._effective_expand(ef),
             nbr_store=self._get_nbr_store(),
         )
         self._add_dist_comps(nd)
