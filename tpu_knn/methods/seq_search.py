@@ -245,7 +245,9 @@ def _knn_device_twopass(
         # failing query re-run the f32 kernel (real control flow: the
         # cond lives inside a lax.map scan body, not a vmap)
         qv, qt, xt, scale = _kernel_inputs()
-        qb = 256 if nq >= 256 else nq
+        # block size must be sublane-aligned (multiple of 8) for the
+        # per-block f32 redo kernel
+        qb = 256 if nq >= 256 else max(8, ((nq + 7) // 8) * 8)
         nb = (nq + qb - 1) // qb
         qp = nb * qb
 
