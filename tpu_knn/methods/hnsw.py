@@ -370,13 +370,13 @@ class Hnsw(Method):
         super().set_query_time_params(params)
 
     def _effective_expand(self, ef: int) -> int:
-        """Scale the per-iteration expansion width with ef unless the
-        user pinned searchExpand: the beam runs ~2*ef/expand iterations
-        and per-iteration loop overhead is ~1/3 of device time
-        (profiled), so wide beams expand more parents per step."""
-        if getattr(self, "_expand_user", False):
-            return self.expand
-        return max(self.expand, ef // 16)
+        """Fixed expansion width. An ef-scaled width (expand = ef//16)
+        was measured NEUTRAL-to-worse at 100k/ef=100..200: total
+        candidate work is ~2*ef regardless of the split, and the wider
+        per-iteration frontier's gather/dedup/sort growth cancels the
+        saved fixed per-iteration cost. searchExpand remains the manual
+        override."""
+        return self.expand
 
     # ---------------- construction ----------------
 
