@@ -94,3 +94,34 @@ def test_sharded_hnsw_sparse(rng):
     sh.set_query_time_params(Params(efSearch=30))
     d, i = sh.knn(pts[:8], 3)
     assert np.array_equal(i[:, 0], np.arange(1, 9))  # self hits (1-based ids)
+
+
+def test_hierarchical_two_tier_merge():
+    """[dcn, ici] mesh: hierarchical exact top-k merge must equal the
+    flat single-axis result and the numpy oracle."""
+    import numpy as np
+
+    from tpu_knn.core.dataset import DataKind, DataStore
+    from tpu_knn.core.params import Params
+    from tpu_knn.core.registry import create_space
+    from tpu_knn.parallel.mesh import make_mesh, make_mesh2
+    from tpu_knn.parallel.sharded import sharded_exact_knn, sharded_exact_knn_hier
+
+    rng = np.random.default_rng(0)
+    n, d, q, k = 512, 16, 12, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    space = create_space("l2", Params(dim=d))
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    data = space.encode_dataset(store, row_multiple=64)
+    qenc = space.encode_queries(queries)
+
+    d1, i1 = sharded_exact_knn(space, qenc, data, k, make_mesh(8))
+    d2, i2 = sharded_exact_knn_hier(space, qenc, data, k, make_mesh2(2, 4))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+    full = np.sqrt(((queries[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+    wi = np.argsort(full, 1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(i2), wi)

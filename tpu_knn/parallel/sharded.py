@@ -100,3 +100,53 @@ def merge_sharded_topk(dists, ids, k: int, axis: str = SHARD_AXIS):
     md = jnp.moveaxis(all_d, 0, 1).reshape(q, s * kk)
     mi = jnp.moveaxis(all_i, 0, 1).reshape(q, s * kk)
     return T.smallest_k(md, k, mi)
+
+
+def sharded_exact_knn_hier(
+    space,
+    qenc: dict,
+    data,
+    k: int,
+    mesh: Mesh,
+    precision: str = "float32",
+):
+    """Exact kNN over a two-tier [dcn, ici] mesh (parallel/mesh.py
+    make_mesh2): the corpus is row-sharded over BOTH axes jointly and
+    the per-shard top-k merges hierarchically — first an all_gather over
+    the fast ICI axis (intra-slice), then over the slow DCN axis, which
+    therefore carries only k results per query per slice. This is the
+    multi-host tier of SURVEY.md §7 step 9; exactness is unchanged
+    (top-k merge is associative)."""
+    from .mesh import DCN_AXIS, ICI_AXIS
+
+    corpus = space.corpus_dict(data)
+    corpus.pop("count", None)
+    corpus.pop("row_mask", None)
+    corpus["pad"] = data.extra["pad"]
+    if "term" not in corpus and getattr(data, "row_term", None) is not None:
+        corpus["term"] = data.row_term
+
+    def local(qenc_l, corpus_l, ids_l):
+        xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}
+        if corpus_l.get("term") is not None:
+            xc["x_term"] = corpus_l["term"]
+        for key, arr in corpus_l.items():
+            if key not in ("vecs", "pad", "term"):
+                xc[key] = arr
+        dk, ids = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
+        d1, i1 = merge_sharded_topk(dk, ids, k, ICI_AXIS)  # intra-slice
+        return merge_sharded_topk(d1, i1, k, DCN_AXIS)  # cross-host: [Q,k] only
+
+    both = (DCN_AXIS, ICI_AXIS)
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), qenc),
+            jax.tree_util.tree_map(lambda _: P(both), corpus),
+            P(both),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(qenc, corpus, data.ids)
