@@ -150,24 +150,30 @@ def test_replicate_neighbors_matches_plain():
     base.build_index(Params(M=8, efConstruction=50, waveSize=256, seed=3))
     d0, i0 = base.knn_query_batch(q, 10)
 
-    rep = Index("l2", Params(dim=32), method="hnsw")
-    rep.add_dense_batch(x)
-    rep.build_index(
-        Params(M=8, efConstruction=50, waveSize=256, seed=3, replicateNeighbors=1)
-    )
-    d1, i1 = rep.knn_query_batch(q, 10)
+    for dtype in ("bfloat16", "int8"):
+        rep = Index("l2", Params(dim=32), method="hnsw")
+        rep.add_dense_batch(x)
+        rep.build_index(
+            Params(
+                M=8, efConstruction=50, waveSize=256, seed=3,
+                replicateNeighbors=1, nbrStoreDtype=dtype,
+            )
+        )
+        d1, i1 = rep.knn_query_batch(q, 10)
 
-    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i0, i1)])
-    assert overlap > 0.95, overlap
-    # exact rescore: distances for common ids must match the plain path
-    # up to the norm-identity cancellation floor (d^2 = |q|^2+|x|^2-2qx
-    # loses ~eps*(|q|^2+|x|^2) absolute on d^2 — both paths sit at that
-    # floor with different summation orders)
-    for a_ids, a_d, b_ids, b_d in zip(i0, d0, i1, d1):
-        bm = {int(i): float(v) for i, v in zip(b_ids, b_d)}
-        for i, v in zip(a_ids, a_d):
-            if int(i) in bm:
-                np.testing.assert_allclose(bm[int(i)], float(v), rtol=5e-3, atol=1e-5)
+        overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i0, i1)])
+        assert overlap > 0.95, (dtype, overlap)
+        # exact rescore: distances for common ids must match the plain
+        # path up to the norm-identity cancellation floor (d^2 =
+        # |q|^2+|x|^2-2qx loses ~eps*(|q|^2+|x|^2) absolute on d^2 —
+        # both paths sit at that floor with different summation orders)
+        for a_ids, a_d, b_ids, b_d in zip(i0, d0, i1, d1):
+            bm = {int(i): float(v) for i, v in zip(b_ids, b_d)}
+            for i, v in zip(a_ids, a_d):
+                if int(i) in bm:
+                    np.testing.assert_allclose(
+                        bm[int(i)], float(v), rtol=5e-3, atol=1e-5
+                    )
 
 
 def test_graph_sanity_checkers():

@@ -332,10 +332,15 @@ class Hnsw(Method):
         # (measured: build 89s -> 33s at 100k, recall unchanged)
         self.construction_expand = pm.get("constructionExpand", 16, int)
         # DiskANN-style neighborhood replication: store each node's
-        # neighbors' vectors contiguously (bf16) so one beam expansion is
-        # one sequential HBM granule instead of maxM0 row gathers. Costs
-        # n*maxM0*d*2 bytes of HBM (8GB at 1M x 32 x 128) — opt-in.
+        # neighbors' vectors contiguously so one beam expansion is one
+        # sequential HBM granule instead of maxM0 row gathers. Costs
+        # n*maxM0*d bytes/elem of HBM (8GB bf16 / 4GB int8 at
+        # 1M x 32 x 128) — opt-in; the final top-k is re-scored exactly
+        # either way.
         self.replicate_neighbors = pm.get("replicateNeighbors", 0, int)
+        self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
+        if self.nbr_store_dtype not in ("bfloat16", "int8"):
+            raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
         self.seed = pm.get("seed", 0, int)
         pm.check_unused()
         self._nbr_store = None
@@ -533,17 +538,25 @@ class Hnsw(Method):
         )
 
     def _get_nbr_store(self):
-        """Lazy [n_pad, maxM0, d] bf16 replicated neighbor rows (level 0).
-        Cached keyed on the adjacency array's identity, so any graph
-        mutation (rebuild, sw-graph add/delete) rebuilds it."""
+        """Lazy [n_pad, maxM0, d] replicated neighbor rows (level 0), in
+        bf16 or symmetric per-tensor int8 (nbrStoreDtype). Cached keyed
+        on the adjacency array's identity, so any graph mutation
+        (rebuild, sw-graph add/delete) rebuilds it. Returns
+        (rows, scale) — scale is 1.0 for bf16."""
         if not self.replicate_neighbors or not self._nbr_store_ok():
             return None
         adj = self.graph["level0"]
         if self._nbr_store is None or self._nbr_store[0] is not adj:
             vecs = self.data.vecs
             safe = jnp.clip(adj, 0, vecs.shape[0] - 1)
-            self._nbr_store = (adj, vecs[safe].astype(jnp.bfloat16))
-        return self._nbr_store[1]
+            if self.nbr_store_dtype == "int8":
+                s = float(jnp.max(jnp.abs(vecs))) / 127.0
+                s = s if s > 0 else 1.0
+                rows = jnp.clip(jnp.round(vecs[safe] / s), -127, 127).astype(jnp.int8)
+                self._nbr_store = (adj, rows, s)
+            else:
+                self._nbr_store = (adj, vecs[safe].astype(jnp.bfloat16), 1.0)
+        return self._nbr_store[1], self._nbr_store[2]
 
     def knn(self, points, k: int):
         if self.graph is None:

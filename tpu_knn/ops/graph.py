@@ -216,7 +216,7 @@ def beam_search(
     ef: int,
     expand: int = 4,
     max_iters: int | None = None,
-    nbr_store: jax.Array | None = None,  # [S, M, D] replicated neighbor rows
+    nbr_store=None,  # ([S, M, D] replicated neighbor rows, dequant scale)
 ):
     """Batched best-first beam search on one graph level.
 
@@ -290,8 +290,9 @@ def beam_search(
         if nbr_store is not None:
             # one [M, D] granule per parent; rows are position-aligned
             # with nbrs == cand, masked entries score INF via pad
-            prows = nbr_store[jnp.clip(pslots, 0, nbr_store.shape[0] - 1)]
-            crows = prows.reshape(b, k_cand, -1).astype(jnp.float32)
+            store_rows, store_scale = nbr_store
+            prows = store_rows[jnp.clip(pslots, 0, store_rows.shape[0] - 1)]
+            crows = prows.reshape(b, k_cand, -1).astype(jnp.float32) * store_scale
             safe = jnp.clip(cand, 0, corpus["vecs"].shape[0] - 1)
             pad = _row_pad(corpus, cand, safe)
             extra_sl = inject_term(space, crows, {})
