@@ -186,6 +186,7 @@ class Index:
         if print_progress:
             log("INFO", f"building {self.method_name} over {len(self.store)} objects")
         self.method = create_method(self.method_name, self.space, params)
+        self.method.progress = print_progress  # per-wave logging (hnsw)
         self.method.create_index(self.store, params)
         if self._query_params is not None:
             self.method.set_query_time_params(self._query_params)

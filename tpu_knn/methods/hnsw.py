@@ -458,7 +458,12 @@ class Hnsw(Method):
         corpus = _corpus_dict(self.space, self.data)
         qenc_all = self._qenc_all
         level0, upper = self.graph["level0"], self._upper
+        # ProgressDisplay analog (reference: hnsw.cc:236): one INFO line
+        # per ~10% of waves when build_index(print_progress=True)
+        every = max(1, num_waves // 10) if getattr(self, "progress", False) else 0
         for wi in range(num_waves):
+            if every and wi % every == 0:
+                log("INFO", f"hnsw build: wave {wi + 1}/{num_waves}")
             start = lo + wi * w
             level0, upper = step(
                 level0,
