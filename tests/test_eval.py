@@ -138,3 +138,18 @@ def test_class_accuracy_in_experiments(rng):
     ex = Experiments(space, store, x[:20], k=5)
     rows = ex.run(method, [None])
     assert rows[0]["class_accuracy"] == pytest.approx(1.0)
+
+
+def test_sparse_like_generator():
+    """Clustered bag-of-words generator honors the sparse id contract
+    (1-based strictly increasing) and produces clustered structure."""
+    import numpy as np
+
+    from tpu_knn.eval.datasets import sparse_like
+
+    pts = sparse_like(500, vocab=2000, nnz=24, seed=2)
+    assert len(pts) == 500
+    for ids, vals in pts:
+        assert ids.min() >= 1
+        assert np.all(np.diff(ids) > 0)
+        assert np.all(vals > 0) and len(ids) == len(vals)

@@ -83,3 +83,45 @@ def glove_like(n: int, d: int = 100, seed: int = 0) -> np.ndarray:
         f"glove_like_{n}x{d}_s{seed}",
         lambda: clustered(n, d, n_clusters=max(n // 300, 64), latent_dim=24, seed=seed),
     )
+
+
+def sparse_like(
+    n: int,
+    vocab: int = 30_000,
+    nnz: int = 64,
+    n_clusters: int = 200,
+    topic_frac: float = 0.7,
+    seed: int = 0,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Clustered bag-of-words corpus for the sparse spaces: a Zipfian
+    global term distribution plus per-cluster topic terms (documents
+    draw ``topic_frac`` of their terms from their cluster's topic set).
+    Returns ragged [(ids, vals)] with 1-based strictly-increasing ids
+    (the sparse API contract). Values are log-tf-style positives."""
+
+    def make():
+        rng = np_rng(seed)
+        # global Zipf-ish inverse-CDF over term ranks
+        p = 1.0 / (np.arange(vocab) + 10.0)
+        cdf = np.cumsum(p) / p.sum()
+        topic_terms = rng.integers(0, vocab, size=(n_clusters, max(nnz * 8, 256)))
+        cl = rng.integers(0, n_clusters, size=n)
+        glob = np.searchsorted(cdf, rng.random((n, nnz))).clip(0, vocab - 1)
+        topi = topic_terms[cl][np.arange(n)[:, None], rng.integers(0, topic_terms.shape[1], size=(n, nnz))]
+        use_topic = rng.random((n, nnz)) < topic_frac
+        ids = np.where(use_topic, topi, glob).astype(np.int64)
+        vals = (1.0 + np.log1p(rng.poisson(1.0, size=(n, nnz)))).astype(np.float32)
+        out = np.zeros((n, nnz, 2), np.float32)
+        out[:, :, 0] = ids
+        out[:, :, 1] = vals
+        return out
+
+    packed = _cached(f"sparse_like_{n}x{vocab}x{nnz}_s{seed}", make)
+    pts = []
+    for row in packed:
+        ids = row[:, 0].astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, vals = ids[order], row[:, 1][order]
+        keep = np.concatenate([[True], ids[1:] != ids[:-1]])  # dedup
+        pts.append(((ids[keep] + 1).astype(np.int32), vals[keep].astype(np.float32)))
+    return pts
