@@ -153,3 +153,34 @@ def test_sparse_borrow_roundtrip(rng):
     p = idx.borrow_data_sparse(2)
     assert np.array_equal(p.ids, xs[2][0])
     assert np.allclose(p.values, xs[2][1])
+
+
+def test_dense_scatter_dot_matches_lookup(rng):
+    """ops/sparse.py dot_blocked_dense (MXU dense-after-scatter) must
+    equal the sorted-lookup kernel and the intersection variant its
+    loop-based counterpart."""
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    xs = _rand_sparse(rng, 40, universe=300, max_nnz=20)
+    qs = _rand_sparse(rng, 7, universe=300, max_nnz=16)
+
+    def pack(pts, pad):
+        nnz = max(len(p.ids) for p in pts)
+        col = np.full((len(pts), nnz), int(pad), np.int32)
+        val = np.zeros((len(pts), nnz), np.float32)
+        for i, p in enumerate(pts):
+            col[i, : len(p.ids)] = p.ids
+            val[i, : len(p.ids)] = p.values
+        return jnp.asarray(col), jnp.asarray(val)
+
+    qcol, qval = pack([DataStore.validate_sparse(q) for q in qs], S.PAD_Q)
+    xcol, xval = pack([DataStore.validate_sparse(x) for x in xs], S.PAD_X)
+    ref = np.asarray(S.dot_blocked(qcol, qval, xcol, xval))
+    got = np.asarray(S.dot_blocked_dense(qcol, qval, xcol, xval, 384))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    ref_i = np.asarray(S.intersect_count_blocked(qcol, xcol))
+    got_i = np.asarray(S.intersect_count_blocked_dense(qcol, xcol, 384))
+    np.testing.assert_allclose(got_i, ref_i, rtol=0, atol=1e-5)

@@ -347,7 +347,9 @@ class SeqSearch(Method):
         kk = min(k, n_pad)
         # two-pass group-min path pays off once the corpus dwarfs the
         # (k+margin)*128 candidate re-scan; small corpora keep the
-        # single-pass merge
+        # single-pass merge. (Even for non-affine spaces whose pass 1 is
+        # a full block scan, the per-chunk group-min is far cheaper than
+        # the single-pass path's per-chunk lax.top_k merge.)
         use_twopass = (
             self._chunk % 128 == 0
             and n_pad % 128 == 0

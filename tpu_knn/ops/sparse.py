@@ -25,12 +25,31 @@ in practice), so padded slots never produce a spurious id match.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 #: Column padding sentinels (see module docstring).
 PAD_Q = jnp.int32(2**31 - 1)
 PAD_X = jnp.int32(2**31 - 2)
+
+
+def _bsearch_first_geq(sorted_ids: jax.Array, targets: jax.Array) -> jax.Array:
+    """Index of the first element of ``sorted_ids`` >= each target:
+    an explicitly unrolled vectorized binary search (log2(n) compare +
+    gather steps). Replaces jnp.searchsorted, whose TPU lowering
+    crashed the worker ("kernel fault") at ~50-100k-corpus scan scale
+    under the double vmap of the sparse block kernel."""
+    n = sorted_ids.shape[-1]
+    lo = jnp.zeros(targets.shape, jnp.int32)
+    hi = jnp.full(targets.shape, n, jnp.int32)
+    for _ in range(max(1, math.ceil(math.log2(max(n, 2))) + 1)):
+        mid = (lo + hi) // 2
+        go_right = sorted_ids[jnp.clip(mid, 0, n - 1)] < targets
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
 
 
 def lookup_query_vals(qcol: jax.Array, qval: jax.Array, xcol: jax.Array):
@@ -46,7 +65,7 @@ def lookup_query_vals(qcol: jax.Array, qval: jax.Array, xcol: jax.Array):
 
     def per_query(qc, qv):
         def per_row(xc):
-            pos = jnp.searchsorted(qc, xc)
+            pos = _bsearch_first_geq(qc, xc)
             posc = jnp.clip(pos, 0, nq - 1)
             found = qc[posc] == xc
             return jnp.where(found, qv[posc], 0.0), found
@@ -61,6 +80,43 @@ def dot_blocked(qcol, qval, xcol, xval):
     SparseScalarProductFast, src/distcomp_sparse_scalar_fast.cc)."""
     vals, _ = lookup_query_vals(qcol, qval, xcol)
     return jnp.einsum("qcn,cn->qc", vals, xval)
+
+
+def _densify(col: jax.Array, val: jax.Array, v_pad: int) -> jax.Array:
+    """Scatter padded-CSR rows into a dense [rows, v_pad] block.
+    Column ids are 1-based; padding sentinels (PAD_Q/PAD_X) scatter out
+    of range and are dropped."""
+    r, nnz = col.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, nnz), 0)
+    return jnp.zeros((r, v_pad), jnp.float32).at[rows, col - 1].add(
+        val, mode="drop"
+    )
+
+
+def dot_blocked_dense(qcol, qval, xcol, xval, v_pad: int, precision="float32"):
+    """Sparse scalar product via dense-after-scatter: densify both sides
+    over the (bounded, padded) vocabulary and take ONE MXU matmul with a
+    deep contraction — ~100x faster than the per-pair sorted lookup at
+    benchmark scales, and it keeps per-dispatch runtime bounded (the
+    lookup formulation's scalar-gather storm ran long enough at 100k
+    corpora to trip the TPU worker watchdog). Exact: scatter-add of
+    disjoint ids + f32-HIGHEST matmul. Used when the corpus vocabulary
+    fits the gate (spaces/sparse.py VOCAB_DENSE_MAX); the lookup path
+    remains for unbounded/hashed id spaces and the union-Lp distances."""
+    from .distance import matmul
+
+    xd = _densify(xcol, xval, v_pad)
+    qd = _densify(qcol, qval, v_pad)  # loop-invariant: XLA hoists out of scans
+    return matmul(qd, xd, precision)
+
+
+def intersect_count_blocked_dense(qcol, xcol, v_pad: int, precision="float32"):
+    """|A ∩ B| via dense indicator matmul (ids are unique per row)."""
+    from .distance import matmul
+
+    qd = _densify(qcol, jnp.ones(qcol.shape, jnp.float32), v_pad)
+    xd = _densify(xcol, jnp.ones(xcol.shape, jnp.float32), v_pad)
+    return matmul(qd, xd, precision)
 
 
 def intersect_count_blocked(qcol, xcol):
@@ -109,7 +165,7 @@ def _reverse_found(qcol, xcol):
 
     def per_row(xc):
         def per_query(qc):
-            pos = jnp.searchsorted(xc, qc)
+            pos = _bsearch_first_geq(xc, qc)
             posc = jnp.clip(pos, 0, nx - 1)
             return xc[posc] == qc
 

@@ -43,6 +43,11 @@ from .dense import PAD_TERM
 
 _TINY = 1e-10
 
+#: Max padded vocabulary for the dense-after-scatter dot fast path
+#: (ops/sparse.py dot_blocked_dense): a [chunk, V] f32 block must stay
+#: VMEM/HBM-friendly and [Q, V] bounded for the densified queries.
+VOCAB_DENSE_MAX = 65536
+
 
 def _pack_csr(points: list[SparsePoint], n_pad: int, nnz_mult: int = 8, pad_col=S.PAD_X):
     """Pack SparsePoints into padded CSR host arrays. The packing loop is
@@ -77,6 +82,9 @@ class SparseSpaceBase(Space):
     #: Sparse blocks materialize [Q, C, nnz]; keep corpus chunks modest.
     preferred_chunk = 256
     binary = False  # presence-only variants force values to 1
+    #: subclasses whose distance factors through dot / intersection
+    #: counts opt into the dense-after-scatter fast path
+    dense_dot_ok = False
 
     def encode_dataset(self, store: DataStore, row_multiple: int = 8) -> SparseDeviceData:
         pts = store.sparse_points()
@@ -97,6 +105,14 @@ class SparseSpaceBase(Space):
             count=n,
         )
         data.extra["pad"] = jnp.asarray(pad)
+        # dense-after-scatter gate: a tiny [V_pad] marker array whose
+        # STATIC SHAPE carries the padded vocabulary into the traced
+        # block kernels (a plain int on the space would go stale across
+        # re-encodes without retriggering compilation)
+        vmax = int(max((int(p.ids[-1]) for p in pts if len(p.ids)), default=0))
+        if self.dense_dot_ok and 0 < vmax <= VOCAB_DENSE_MAX:
+            v_pad = round_up(vmax, 128)
+            data.extra["vocab_mark"] = jnp.zeros(v_pad, jnp.int8)
         return data
 
     def encode_queries(self, points) -> dict:
@@ -120,12 +136,15 @@ class SparseSpaceBase(Space):
 
     def slice_data(self, data: SparseDeviceData, start, size) -> dict:
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, 0)
-        return {
+        xc = {
             "x": sl(data.val),
             "cols": sl(data.col),
             "len": sl(data.length),
             "pad": sl(data.extra["pad"]),
         }
+        if "vocab_mark" in data.extra:
+            xc["vocab_mark"] = data.extra["vocab_mark"]  # shape carrier, unsliced
+        return xc
 
     def corpus_dict(self, data: SparseDeviceData) -> dict:
         """Graph-search corpus arrays, all row-indexed (see
@@ -149,10 +168,24 @@ class SparseSpaceBase(Space):
 
 
 class SparseDotBase(SparseSpaceBase):
-    def _norm_dot(self, qenc, xc):
+    dense_dot_ok = True
+
+    def _dot(self, qenc, xc, precision: str = "float32"):
+        """Sparse dot block: dense-after-scatter MXU matmul when the
+        vocabulary gate is present, sorted-lookup otherwise (gather-
+        scored graph candidates, unbounded id spaces)."""
+        vm = xc.get("vocab_mark")
+        if vm is not None and xc["cols"].ndim == 2:
+            return S.dot_blocked_dense(
+                qenc["qcol"], qenc["qval"], xc["cols"], xc["x"], vm.shape[0],
+                precision,
+            )
+        return S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+
+    def _norm_dot(self, qenc, xc, precision: str = "float32"):
         """dot / (|q| |x|), the NormScalarProduct analog
         (src/distcomp_scalar.cc NormScalarProductSIMD; 0-norm rows give 0)."""
-        dot = S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        dot = self._dot(qenc, xc, precision)
         qn = S.norms_from_vals(qenc["qval"])[:, None]
         xn = S.norms_from_vals(xc["x"])[None, :]
         return dot / jnp.maximum(qn * xn, _TINY)
@@ -193,7 +226,7 @@ class SparseNegDotSpace(SparseDotBase):
     name = "negdotprod_sparse"
 
     def _block_impl(self, qenc, xc, precision):
-        return -S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        return -self._dot(qenc, xc, precision)
 
 
 @register_space("negdotprod_sparse_bin_fast")
@@ -211,7 +244,7 @@ class SparseQueryNormNegDotSpace(SparseDotBase):
     name = "querynorm_negdotprod_sparse"
 
     def _block_impl(self, qenc, xc, precision):
-        dot = S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
+        dot = self._dot(qenc, xc, precision)
         qn = jnp.maximum(S.norms_from_vals(qenc["qval"]), _TINY)
         return -dot / qn[:, None]
 
@@ -281,6 +314,16 @@ class SparseJaccardSpace(SparseSpaceBase):
     space_sparse_jaccard.h, distcomp.h:253-262)."""
 
     name = "sparse_jaccard"
+    dense_dot_ok = True  # intersection counts = indicator matmul
 
     def _block_impl(self, qenc, xc, precision):
+        vm = xc.get("vocab_mark")
+        if vm is not None and xc["cols"].ndim == 2:
+            inter = S.intersect_count_blocked_dense(
+                qenc["qcol"], xc["cols"], vm.shape[0], precision
+            )
+            union = qenc["qlen"][:, None] + xc["len"][None, :] - inter
+            return jnp.where(
+                union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0
+            )
         return S.jaccard_blocked(qenc["qcol"], xc["cols"], qenc["qlen"], xc["len"])
