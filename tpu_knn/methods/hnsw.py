@@ -103,7 +103,42 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
         k: (0 if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] == b else None)
         for k, v in qe.items()
     }
-    d = jax.vmap(one, in_axes=(axes_q, 0, 0, {k: 0 for k in extra}))(qe, rows, pad, extra)
+
+    def run(qe_b, rows_b, pad_b, extra_b):
+        return jax.vmap(one, in_axes=(axes_q, 0, 0, {k: 0 for k in extra}))(
+            qe_b, rows_b, pad_b, extra_b
+        )
+
+    # generic (lookup-scored) spaces materialize [b, C, C2, nnz]-sized
+    # intermediates; one flat vmap over b=8192 reverse-update rows blew
+    # the sparse wave program past the 16GB HBM compile estimate — run
+    # in row blocks under lax.map instead
+    blk = 512
+    if b <= blk:
+        d = run(qe, rows, pad, extra)
+    else:
+        bp = ((b + blk - 1) // blk) * blk
+
+        def padb(v, is_rowed):
+            if not is_rowed:
+                return v
+            padv = jnp.zeros((bp - b,) + v.shape[1:], v.dtype)
+            return jnp.concatenate([v, padv], 0).reshape((bp // blk, blk) + v.shape[1:])
+
+        qe_b = {k: padb(v, axes_q[k] == 0) for k, v in qe.items()}
+        mapped = jax.lax.map(
+            lambda a: run(
+                {k: (a[0][k] if axes_q[k] == 0 else qe[k]) for k in qe},
+                a[1], a[2], a[3],
+            ),
+            (
+                {k: v for k, v in qe_b.items() if axes_q[k] == 0},
+                padb(rows, True),
+                padb(pad, True),
+                {k: padb(v, True) for k, v in extra.items()},
+            ),
+        )
+        d = mapped.reshape((bp,) + mapped.shape[2:])[:b]
     return jnp.where(ids_a[:, :, None] < 0, INF, d)
 
 
