@@ -137,6 +137,15 @@ def score_gathered(space, qenc: dict, rows, pad, extra_sl: dict) -> jax.Array:
             s = s + sx * extra_sl["x_term"]
         return space.pass1_post(s, qenc) + pad
 
+    # space-provided batch scorer for gathered rows (sparse dot family:
+    # densified-query take_along_axis — replaces the per-element binary
+    # search whose TPU program faulted at 100k graph-query scale)
+    gb = getattr(space, "gathered_block", None)
+    if gb is not None:
+        d = gb(qenc, rows, pad, extra_sl)
+        if d is not None:
+            return d
+
     b = rows.shape[0]
     axes = _qenc_axes(qenc, b)
 

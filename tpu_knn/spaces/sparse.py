@@ -110,9 +110,11 @@ class SparseSpaceBase(Space):
         # block kernels (a plain int on the space would go stale across
         # re-encodes without retriggering compilation)
         vmax = int(max((int(p.ids[-1]) for p in pts if len(p.ids)), default=0))
+        self._v_pad = None
         if self.dense_dot_ok and 0 < vmax <= VOCAB_DENSE_MAX:
             v_pad = round_up(vmax, 128)
             data.extra["vocab_mark"] = jnp.zeros(v_pad, jnp.int8)
+            self._v_pad = v_pad
         return data
 
     def encode_queries(self, points) -> dict:
@@ -128,6 +130,22 @@ class SparseSpaceBase(Space):
             "qval": jnp.asarray(val),
             "qlen": jnp.asarray(length),
         }
+        # densified per-query value table for gather-scored graph
+        # candidates (gathered_block): its STATIC [Q, V_pad] shape makes
+        # stale-vocab programs impossible. Host-densified (cheap) and
+        # gated so the upload stays modest.
+        v_pad = getattr(self, "_v_pad", None)
+        if (
+            self.dense_dot_ok
+            and v_pad
+            and col.shape[0] * v_pad <= (1 << 24)
+        ):
+            qd = np.zeros((col.shape[0], v_pad), np.float32)
+            rows_i = np.repeat(np.arange(col.shape[0]), col.shape[1])
+            cc = (col.astype(np.int64) - 1).ravel()
+            m = (cc >= 0) & (cc < v_pad)
+            qd[rows_i[m], cc[m]] = val.ravel()[m]
+            enc["q_dense"] = jnp.asarray(qd)
         self._add_query_terms(enc, val, length)
         return enc
 
@@ -170,6 +188,34 @@ class SparseSpaceBase(Space):
 class SparseDotBase(SparseSpaceBase):
     dense_dot_ok = True
 
+    def gathered_block(self, qenc, rows, pad, extra):
+        """Distances of query b to its gathered candidate rows [B, K,
+        nnz] via the densified query table: one take_along_axis per
+        candidate element instead of per-element binary searches — the
+        searchsorted-under-while_loop program this replaces faulted the
+        TPU worker on 100k sparse graph queries. Returns None (fall back
+        to the lookup path) when q_dense wasn't built."""
+        qd = qenc.get("q_dense")
+        cols = extra.get("cols")
+        if qd is None or cols is None or getattr(cols, "ndim", 0) != 3:
+            return None
+        b, k, nnz = cols.shape
+        v = qd.shape[1]
+        # padded cols (PAD_X) clip in-range but their row values are 0
+        idx = jnp.clip(cols.reshape(b, k * nnz) - 1, 0, v - 1)
+        qvals = jnp.take_along_axis(qd, idx, axis=1).reshape(b, k, nnz)
+        dot = jnp.sum(qvals * rows, axis=-1)  # [B, K]
+        return self._post_gathered_dot(qenc, rows, dot) + pad
+
+    def _norm_gathered(self, qenc, rows, dot):
+        qn = S.norms_from_vals(qenc["qval"])[:, None]
+        xn = S.norms_from_vals(rows)
+        return dot / jnp.maximum(qn * xn, _TINY)
+
+    def _post_gathered_dot(self, qenc, rows, dot):
+        """Map the raw dot to this space's distance; per-class override."""
+        raise NotImplementedError
+
     def _dot(self, qenc, xc, precision: str = "float32"):
         """Sparse dot block: dense-after-scatter MXU matmul when the
         vocabulary gate is present, sorted-lookup otherwise (gather-
@@ -202,6 +248,9 @@ class SparseCosineSpace(SparseDotBase):
     def _block_impl(self, qenc, xc, precision):
         return jnp.maximum(0.0, 1.0 - self._norm_dot(qenc, xc))
 
+    def _post_gathered_dot(self, qenc, rows, dot):
+        return jnp.maximum(0.0, 1.0 - self._norm_gathered(qenc, rows, dot))
+
 
 @register_space("cosinesimil_sparse_bin_fast")
 class SparseCosineBinSpace(SparseCosineSpace):
@@ -219,6 +268,9 @@ class SparseAngularSpace(SparseDotBase):
     def _block_impl(self, qenc, xc, precision):
         return jnp.arccos(jnp.clip(self._norm_dot(qenc, xc), -1.0, 1.0))
 
+    def _post_gathered_dot(self, qenc, rows, dot):
+        return jnp.arccos(jnp.clip(self._norm_gathered(qenc, rows, dot), -1.0, 1.0))
+
 
 @register_space("negdotprod_sparse")
 @register_space("negdotprod_sparse_fast")
@@ -227,6 +279,9 @@ class SparseNegDotSpace(SparseDotBase):
 
     def _block_impl(self, qenc, xc, precision):
         return -self._dot(qenc, xc, precision)
+
+    def _post_gathered_dot(self, qenc, rows, dot):
+        return -dot
 
 
 @register_space("negdotprod_sparse_bin_fast")
@@ -245,6 +300,10 @@ class SparseQueryNormNegDotSpace(SparseDotBase):
 
     def _block_impl(self, qenc, xc, precision):
         dot = self._dot(qenc, xc, precision)
+        qn = jnp.maximum(S.norms_from_vals(qenc["qval"]), _TINY)
+        return -dot / qn[:, None]
+
+    def _post_gathered_dot(self, qenc, rows, dot):
         qn = jnp.maximum(S.norms_from_vals(qenc["qval"]), _TINY)
         return -dot / qn[:, None]
 
