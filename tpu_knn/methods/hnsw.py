@@ -179,6 +179,8 @@ def make_wave_step(
             best_d [W], best_i [W]) where best_* trace the closest point
             seen (for entry hand-off to the next level)."""
             qe = _gather_qenc(qenc_all, wave_ids, n_total)
+            if hasattr(space, "augment_gathered_queries"):
+                qe = space.augment_gathered_queries(qe)
             beam_d, beam_i, _ = G.beam_search(
                 space, qe, corpus, adj, None, cur, ef=efc, expand=expand
             )
@@ -284,6 +286,8 @@ def make_wave_step(
 
         wave_ids = start + jnp.arange(w, dtype=jnp.int32)
         qe = _gather_qenc(qenc_all, wave_ids, n_total)
+        if hasattr(space, "augment_gathered_queries"):
+            qe = space.augment_gathered_queries(qe)
         cur = jnp.full(w, entry, jnp.int32)  # global entry point
         cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
         new_upper = list(upper)

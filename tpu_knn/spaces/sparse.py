@@ -216,6 +216,19 @@ class SparseDotBase(SparseSpaceBase):
         """Map the raw dot to this space's distance; per-class override."""
         raise NotImplementedError
 
+    def augment_gathered_queries(self, qe: dict) -> dict:
+        """In-jit device densify of gathered query encodings (graph
+        construction: a wave's points act as queries). Gives the wave's
+        beam searches the take_along_axis scoring path — the sorted
+        lookup under a while_loop faults the TPU worker (see
+        gathered_block)."""
+        v_pad = getattr(self, "_v_pad", None)
+        if not v_pad or "qcol" not in qe or "q_dense" in qe:
+            return qe
+        out = dict(qe)
+        out["q_dense"] = S._densify(qe["qcol"], qe["qval"], v_pad)
+        return out
+
     def _dot(self, qenc, xc, precision: str = "float32"):
         """Sparse dot block: dense-after-scatter MXU matmul when the
         vocabulary gate is present, sorted-lookup otherwise (gather-
