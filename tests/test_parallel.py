@@ -96,6 +96,37 @@ def test_sharded_hnsw_sparse(rng):
     assert np.array_equal(i[:, 0], np.arange(1, 9))  # self hits (1-based ids)
 
 
+def test_sharded_sparse_uneven_vocab(rng):
+    """Round-1 advisor regression: per-shard sparse encodes whose padded
+    vocabularies round to DIFFERENT multiples of 128. The stacked build
+    must unify widths (not crash in jnp.stack) and queries must score
+    against the right vocabulary (not clip ids into a narrow table)."""
+    mesh = make_mesh(8)
+    pts = []
+    for i in range(256):
+        # sliding term window: ids grow with position (so per-shard
+        # padded vocabularies differ) but neighbors overlap (so the
+        # graph stays navigable)
+        base = 1 + i * 7
+        ids = np.arange(base, base + 25, dtype=np.int64)
+        pts.append((ids, (0.25 + rng.random(25)).astype(np.float32)))
+    space = create_space("cosinesimil_sparse")
+    store = DataStore(DataKind.SPARSE)
+    store.add_sparse_batch(pts)
+    sh = ShardedHnsw(space, mesh, Params(M=6, efConstruction=20, waveSize=16))
+    sh.build(store)
+    sh.set_query_time_params(Params(efSearch=30))
+    d, i = sh.knn(pts[-8:], 3)
+    assert np.array_equal(i[:, 0], np.arange(249, 257))  # self (1-based)
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
+
+    # sharded exact scan over the same uneven-vocab corpus
+    data = space.encode_dataset(store, row_multiple=8 * 8)
+    qenc = space.encode_queries(pts[-8:])
+    d2, i2 = sharded_exact_knn(space, qenc, data, 3, mesh)
+    assert np.array_equal(np.asarray(i2)[:, 0], np.arange(249, 257))
+
+
 def test_hierarchical_two_tier_merge():
     """[dcn, ici] mesh: hierarchical exact top-k merge must equal the
     flat single-axis result and the numpy oracle."""

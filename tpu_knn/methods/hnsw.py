@@ -80,6 +80,16 @@ def _score_pairs(space, qenc_all, n_total, corpus, ids_a, ids_b):
 
     qe = _gather_qenc(qenc_all, jnp.clip(ids_a, 0, n_total - 1), n_total)
 
+    # sparse dot/jaccard family: per-candidate densified tables +
+    # take_along_axis gathers (spaces/sparse.py pair_block) — the
+    # searchsorted formulation below is a TPU-worker-fault suspect
+    pb = getattr(space, "pair_block", None)
+    vm = corpus.get("vocab_mark")
+    if pb is not None and vm is not None:
+        d = pb(qe, rows, pad, extra, vm.shape[0])
+        if d is not None:
+            return jnp.where(ids_a[:, :, None] < 0, INF, d)
+
     aff = space.pass1_affine() if hasattr(space, "pass1_affine") else None
     if aff is not None and hasattr(rows, "ndim") and rows.ndim == 3:
         from ..ops.distance import pair_dot
@@ -179,8 +189,7 @@ def make_wave_step(
             best_d [W], best_i [W]) where best_* trace the closest point
             seen (for entry hand-off to the next level)."""
             qe = _gather_qenc(qenc_all, wave_ids, n_total)
-            if hasattr(space, "augment_gathered_queries"):
-                qe = space.augment_gathered_queries(qe)
+            qe = G.densify_queries(space, qe, corpus)
             beam_d, beam_i, _ = G.beam_search(
                 space, qe, corpus, adj, None, cur, ef=efc, expand=expand
             )
@@ -197,6 +206,10 @@ def make_wave_step(
             extras1 = inject_term(space, rows1, extras1)
             xc_wave = {"x": rows1[0], "pad": pad1[0]}
             xc_wave.update({kk: vv[0] for kk, vv in extras1.items()})
+            if "vocab_mark" in corpus:
+                # route sparse mate scoring through the densified paths
+                # (q_dense gather / dense-after-scatter), not searchsorted
+                xc_wave["vocab_mark"] = corpus["vocab_mark"]
             mate_d = space.block(qe, xc_wave)  # [w, w]
             bad = (mate_ids == wave_ids[:, None]) | (wl[None, :] < l) | (wl[None, :] < 0)
             mate_d = jnp.where(bad, INF, mate_d)
@@ -286,8 +299,7 @@ def make_wave_step(
 
         wave_ids = start + jnp.arange(w, dtype=jnp.int32)
         qe = _gather_qenc(qenc_all, wave_ids, n_total)
-        if hasattr(space, "augment_gathered_queries"):
-            qe = space.augment_gathered_queries(qe)
+        qe = G.densify_queries(space, qe, corpus)
         cur = jnp.full(w, entry, jnp.int32)  # global entry point
         cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
         new_upper = list(upper)
@@ -571,6 +583,10 @@ class Hnsw(Method):
         """Neighborhood replication needs dense float rows whose per-row
         term is recomputable (or absent): corpus_dict must carry neither
         a gathered 'term' nor a dynamic 'row_mask'."""
+        if not hasattr(self.data, "vecs"):
+            # sparse/string encodings expose a 'vecs'-named matrix via
+            # corpus_dict but carry no .vecs row store to replicate
+            return False
         corpus = _corpus_dict(self.space, self.data)
         vecs = corpus.get("vecs")
         return (
@@ -580,6 +596,12 @@ class Hnsw(Method):
             and vecs.dtype in (jnp.float32, jnp.bfloat16)
             and getattr(vecs, "ndim", 0) == 2
         )
+
+    def aux_device_arrays(self):
+        out = list(self._upper)
+        if self._nbr_store is not None:
+            out.append(self._nbr_store[1])
+        return out
 
     def _get_nbr_store(self):
         """Lazy [n_pad, maxM0, d] replicated neighbor rows (level 0), in

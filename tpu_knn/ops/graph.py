@@ -41,7 +41,18 @@ def _qenc_axes(qenc: dict, batch: int):
     }
 
 
-_NON_GATHER_KEYS = ("vecs", "pad", "term", "ids", "count", "row_mask")
+_NON_GATHER_KEYS = ("vecs", "pad", "term", "ids", "count", "row_mask", "vocab_mark")
+
+
+def densify_queries(space, qenc: dict, corpus: dict) -> dict:
+    """Space hook: attach corpus-sized auxiliary query encodings (the
+    sparse densified table, spaces/sparse.py densify_queries). The width
+    comes from the corpus being scored, so it can never go stale; the
+    scatter is loop-invariant and XLA hoists it out of while loops."""
+    hook = getattr(space, "densify_queries", None)
+    if hook is None:
+        return qenc
+    return hook(qenc, corpus)
 
 
 def _row_pad(corpus: dict, ids: jax.Array, safe: jax.Array) -> jax.Array:
@@ -170,6 +181,7 @@ def score_rows(space, qenc: dict, corpus: dict, ids: jax.Array) -> jax.Array:
     Works for every space because it reuses Space.block on a per-query
     basis (vmapped batched matvec on the MXU for factored spaces).
     """
+    qenc = densify_queries(space, qenc, corpus)
     rows, pad, extra_sl = gather_rows(corpus, ids)
     d = score_gathered(space, qenc, rows, pad, extra_sl)
     return jnp.where(ids < 0, INF, d)

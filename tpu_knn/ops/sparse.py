@@ -71,7 +71,11 @@ def dot_blocked(qcol, qval, xcol, xval):
     """Sparse scalar product block f32[Q, C] (reference:
     SparseScalarProductFast, src/distcomp_sparse_scalar_fast.cc)."""
     vals, _ = lookup_query_vals(qcol, qval, xcol)
-    return jnp.einsum("qcn,cn->qc", vals, xval)
+    return jnp.einsum(
+        "qcn,cn->qc", vals, xval,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _densify(col: jax.Array, val: jax.Array, v_pad: int) -> jax.Array:
@@ -103,6 +107,74 @@ def dot_blocked_dense(qcol, qval, xcol, xval, v_pad: int, precision="float32"):
     xd = _densify(xcol, xval, v_pad)
     qd = _densify(qcol, qval, v_pad)  # loop-invariant: XLA hoists out of scans
     return matmul(qd, xd, precision)
+
+
+def dot_qdense(qd, xcol, xval):
+    """Sparse dot of densified queries against CSR rows: f32[Q, C].
+
+    qd f32[Q, V] (densified query table), xcol i32[C, nnz], xval
+    f32[C, nnz]. One gather into the table per corpus element instead of
+    a binary search — padded cols (PAD_X) clip in-range but their xval
+    is 0, so they contribute nothing. This is the non-searchsorted dot
+    used everywhere a densified query side exists (the
+    searchsorted-under-big-program formulation faulted the TPU worker).
+    """
+    v = qd.shape[1]
+    c, nnz = xcol.shape
+    idx = jnp.clip(xcol.reshape(-1) - 1, 0, v - 1)
+    qvals = jnp.take(qd, idx, axis=1).reshape(qd.shape[0], c, nnz)
+    return jnp.einsum(
+        "qcn,cn->qc", qvals, xval,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
+    """Pairwise dots of per-row candidate sets: [B, C, C2].
+
+    acol/aval [B, C, nnz_a] are the "query-side" CSR rows, bcol/bval
+    [B, C2, nnz_b] the scored rows (typically the same gathered
+    candidate set — a gram matrix for the HNSW neighbor-selection
+    heuristic, reference hnsw.h:129-168). Each a-row is densified into a
+    [v_pad] table and b-elements gather from it — no searchsorted.
+    Blocked over B with lax.map so the [bk, C, v_pad] tables stay within
+    ``budget`` f32 elements.
+    """
+    b, c, nnz_a = acol.shape
+    c2, nnz_b = bcol.shape[1], bcol.shape[2]
+    bk = max(1, min(b, budget // max(c * v_pad, 1)))
+    if bk == b:
+        return _pair_dots_block(acol, aval, bcol, bval, v_pad)
+    bp = ((b + bk - 1) // bk) * bk
+
+    def padb(x):
+        if bp != b:
+            x = jnp.concatenate(
+                [x, jnp.zeros((bp - b,) + x.shape[1:], x.dtype)], 0
+            )
+        return x.reshape((bp // bk, bk) + x.shape[1:])
+
+    out = jax.lax.map(
+        lambda a: _pair_dots_block(a[0], a[1], a[2], a[3], v_pad),
+        (padb(acol), padb(aval), padb(bcol), padb(bval)),
+    )
+    return out.reshape(bp, c, c2)[:b]
+
+
+def _pair_dots_block(ac, av, bc, bv, v_pad: int):
+    bk, c, nnz_a = ac.shape
+    c2, nnz_b = bc.shape[1], bc.shape[2]
+    ad = _densify(ac.reshape(bk * c, nnz_a), av.reshape(bk * c, nnz_a), v_pad)
+    ad = ad.reshape(bk, c, v_pad)
+    idx = jnp.clip(bc.reshape(bk, c2 * nnz_b) - 1, 0, v_pad - 1)
+    idx = jnp.broadcast_to(idx[:, None, :], (bk, c, c2 * nnz_b))
+    qvals = jnp.take_along_axis(ad, idx, axis=2).reshape(bk, c, c2, nnz_b)
+    return jnp.einsum(
+        "bcdn,bdn->bcd", qvals, bv,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def intersect_count_blocked_dense(qcol, xcol, v_pad: int, precision="float32"):

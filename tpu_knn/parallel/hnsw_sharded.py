@@ -40,6 +40,40 @@ def _pad_rows_to(a: jnp.ndarray, n: int, fill) -> jnp.ndarray:
     return jnp.concatenate([a, pad], axis=0)
 
 
+def _pad_to_shape(a: jnp.ndarray, shape: tuple, fill) -> jnp.ndarray:
+    """Pad every axis of ``a`` up to ``shape`` with ``fill``. Per-shard
+    encodes legitimately differ in padded widths (sparse nnz_max, padded
+    vocabulary): stacking requires one common shape, and the fill must
+    be the layout's own padding sentinel so widened rows stay inert."""
+    if tuple(a.shape) == tuple(shape):
+        return a
+    out = a
+    for ax, (have, want) in enumerate(zip(out.shape, shape)):
+        if have == want:
+            continue
+        pad_shape = out.shape[:ax] + (want - have,) + out.shape[ax + 1 :]
+        out = jnp.concatenate(
+            [out, jnp.full(pad_shape, fill, out.dtype)], axis=ax
+        )
+    return out
+
+
+def _stack_fill(key: str):
+    """Padding sentinel per corpus/query-encoding key (sparse layouts:
+    ops/sparse.py PAD_Q/PAD_X contract; masks pad with +big)."""
+    if key in ("pad", "row_mask"):
+        return 1e30
+    if key == "cols":
+        from ..ops.sparse import PAD_X
+
+        return int(PAD_X)
+    if key == "qcol":
+        from ..ops.sparse import PAD_Q
+
+        return int(PAD_Q)
+    return 0
+
+
 def _subset_store(store: DataStore, lo: int, hi: int) -> DataStore:
     sub = DataStore(store.kind)
     ids = store.ids[lo:hi]
@@ -147,8 +181,13 @@ class ShardedHnsw:
             if v0 is None:
                 continue
             if k in per_point:
+                tgt = (n_q,) + tuple(
+                    max(h._qenc_all[k].shape[ax] for h in shards)
+                    for ax in range(1, v0.ndim)
+                )
+                fill = _stack_fill(k)
                 qenc_st[k] = jnp.stack(
-                    [_pad_rows_to(h._qenc_all[k], n_q, 0) for h in shards]
+                    [_pad_to_shape(h._qenc_all[k], tgt, fill) for h in shards]
                 )
             else:
                 qenc_st[k] = v0
@@ -229,10 +268,7 @@ class ShardedHnsw:
             max((h._upper[l].shape[0] if l < len(h._upper) else 1) for h in shards)
             for l in range(max_lv)
         ]
-        corpus_keys = None
-        corpus_stacks: dict[str, list] = {}
-        ids, lvl0 = [], []
-        uppers: list[list] = [[] for _ in range(max_lv)]
+        per_shard_c = []
         for h in shards:
             c = self.space.corpus_dict(h.data)
             # per-shard counts differ, so the static-count row masking of
@@ -240,11 +276,32 @@ class ShardedHnsw:
             # an explicit row_mask instead
             c.pop("count", None)
             c.setdefault("row_mask", h.data.extra["pad"])
-            if corpus_keys is None:
-                corpus_keys = [k for k, v in c.items() if v is not None]
-            for k in corpus_keys:
-                fill = 1e30 if k in ("pad", "row_mask") else 0
-                corpus_stacks.setdefault(k, []).append(_pad_rows_to(c[k], n_pad, fill))
+            per_shard_c.append({k: v for k, v in c.items() if v is not None})
+        # only keys every shard produced survive (e.g. one shard's
+        # vocabulary may exceed the dense gate and omit vocab_mark)
+        corpus_keys = [
+            k for k in per_shard_c[0] if all(k in c for c in per_shard_c)
+        ]
+        corpus_stacks: dict[str, list] = {}
+        for k in corpus_keys:
+            # unify shapes across shards: per-row arrays (leading axis ==
+            # the shard's corpus rows) pad rows to n_pad; every other
+            # axis — and non-row-indexed arrays like vocab_mark — pads to
+            # the per-key max across shards
+            per_row = k != "vocab_mark" and all(
+                c[k].shape[0] == c["vecs"].shape[0] for c in per_shard_c
+            )
+            tgt = tuple(
+                max(c[k].shape[ax] for c in per_shard_c)
+                for ax in range(per_shard_c[0][k].ndim)
+            )
+            if per_row:
+                tgt = (n_pad,) + tgt[1:]
+            fill = _stack_fill(k)
+            corpus_stacks[k] = [_pad_to_shape(c[k], tgt, fill) for c in per_shard_c]
+        ids, lvl0 = [], []
+        uppers: list[list] = [[] for _ in range(max_lv)]
+        for h in shards:
             ids.append(_pad_rows_to(h.data.ids, n_pad, -1))
             lvl0.append(_pad_rows_to(h.graph["level0"], n_pad, -1))
             for l in range(max_lv):

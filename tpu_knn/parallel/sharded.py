@@ -83,7 +83,10 @@ def sharded_exact_knn(
         mesh=mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(), qenc),
-            jax.tree_util.tree_map(lambda _: P(axis), corpus),
+            # vocab_mark is a replicated static-width carrier, not
+            # row-sharded corpus data (sharding it would shrink the
+            # densify table and silently mis-score)
+            {k_: (P() if k_ == "vocab_mark" else P(axis)) for k_ in corpus},
             P(axis),
         ),
         out_specs=(P(), P()),
@@ -143,7 +146,7 @@ def sharded_exact_knn_hier(
         mesh=mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(), qenc),
-            jax.tree_util.tree_map(lambda _: P(both), corpus),
+            {k_: (P() if k_ == "vocab_mark" else P(both)) for k_ in corpus},
             P(both),
         ),
         out_specs=(P(), P()),

@@ -107,14 +107,14 @@ class SparseSpaceBase(Space):
         data.extra["pad"] = jnp.asarray(pad)
         # dense-after-scatter gate: a tiny [V_pad] marker array whose
         # STATIC SHAPE carries the padded vocabulary into the traced
-        # block kernels (a plain int on the space would go stale across
-        # re-encodes without retriggering compilation)
+        # block kernels. The width travels WITH the dataset (never on
+        # the space instance): every scoring site derives it from the
+        # corpus it actually scores, so re-encodes or per-shard encodes
+        # can never leave a stale width behind (round-1 advisor finding).
         vmax = int(max((int(p.ids[-1]) for p in pts if len(p.ids)), default=0))
-        self._v_pad = None
         if self.dense_dot_ok and 0 < vmax <= VOCAB_DENSE_MAX:
             v_pad = round_up(vmax, 128)
             data.extra["vocab_mark"] = jnp.zeros(v_pad, jnp.int8)
-            self._v_pad = v_pad
         return data
 
     def encode_queries(self, points) -> dict:
@@ -130,24 +130,34 @@ class SparseSpaceBase(Space):
             "qval": jnp.asarray(val),
             "qlen": jnp.asarray(length),
         }
-        # densified per-query value table for gather-scored graph
-        # candidates (gathered_block): its STATIC [Q, V_pad] shape makes
-        # stale-vocab programs impossible. Host-densified (cheap) and
-        # gated so the upload stays modest.
-        v_pad = getattr(self, "_v_pad", None)
-        if (
-            self.dense_dot_ok
-            and v_pad
-            and col.shape[0] * v_pad <= (1 << 24)
-        ):
-            qd = np.zeros((col.shape[0], v_pad), np.float32)
-            rows_i = np.repeat(np.arange(col.shape[0]), col.shape[1])
-            cc = (col.astype(np.int64) - 1).ravel()
-            m = (cc >= 0) & (cc < v_pad)
-            qd[rows_i[m], cc[m]] = val.ravel()[m]
-            enc["q_dense"] = jnp.asarray(qd)
+        # NB: the densified per-query table (q_dense) is NOT built here —
+        # encode has no corpus in hand, and a host-built table sized from
+        # mutable space state went silently stale across re-encodes
+        # (round-1 advisor finding). densify_queries() builds it in-jit
+        # at every scoring site from the corpus's own vocab_mark width;
+        # XLA hoists the loop-invariant scatter out of scans/while loops.
         self._add_query_terms(enc, val, length)
         return enc
+
+    def _qdense_values(self, qval: jax.Array) -> jax.Array:
+        """Values scattered into the densified query table (jaccard
+        overrides with presence indicators)."""
+        return qval
+
+    def densify_queries(self, qenc: dict, corpus: dict) -> dict:
+        """Add the in-jit densified query table q_dense f32[Q, V_pad]
+        sized from the corpus being scored (its vocab_mark static
+        shape). Query ids beyond the corpus vocabulary are dropped by
+        the scatter — exact, since no corpus id can match them. No-op
+        when the corpus has no dense-vocab gate or q_dense exists."""
+        vm = corpus.get("vocab_mark")
+        if vm is None or "q_dense" in qenc or "qcol" not in qenc:
+            return qenc
+        out = dict(qenc)
+        out["q_dense"] = S._densify(
+            qenc["qcol"], self._qdense_values(qenc["qval"]), vm.shape[0]
+        )
+        return out
 
     def _add_query_terms(self, enc: dict, val: np.ndarray, length: np.ndarray) -> None:
         pass
@@ -166,13 +176,18 @@ class SparseSpaceBase(Space):
 
     def corpus_dict(self, data: SparseDeviceData) -> dict:
         """Graph-search corpus arrays, all row-indexed (see
-        methods/hnsw.py _corpus_dict / ops/graph.py score_rows)."""
-        return {
+        methods/hnsw.py _corpus_dict / ops/graph.py score_rows).
+        vocab_mark rides along (non-gathered) as the static vocabulary-
+        width carrier for densify_queries / pair_block."""
+        out = {
             "vecs": data.val,
             "cols": data.col,
             "len": data.length,
             "pad": data.extra["pad"],
         }
+        if "vocab_mark" in data.extra:
+            out["vocab_mark"] = data.extra["vocab_mark"]
+        return out
 
     def block(self, qenc, xc, precision: str = "float32") -> jax.Array:
         d = self._block_impl(qenc, xc, precision)
@@ -194,7 +209,8 @@ class SparseDotBase(SparseSpaceBase):
         candidate element instead of per-element binary searches — the
         searchsorted-under-while_loop program this replaces faulted the
         TPU worker on 100k sparse graph queries. Returns None (fall back
-        to the lookup path) when q_dense wasn't built."""
+        to the lookup path) when no q_dense is available (unbounded
+        vocabularies)."""
         qd = qenc.get("q_dense")
         cols = extra.get("cols")
         if qd is None or cols is None or getattr(cols, "ndim", 0) != 3:
@@ -216,23 +232,40 @@ class SparseDotBase(SparseSpaceBase):
         """Map the raw dot to this space's distance; per-class override."""
         raise NotImplementedError
 
-    def augment_gathered_queries(self, qe: dict) -> dict:
-        """In-jit device densify of gathered query encodings (graph
-        construction: a wave's points act as queries). Gives the wave's
-        beam searches the take_along_axis scoring path — the sorted
-        lookup under a while_loop faults the TPU worker (see
-        gathered_block)."""
-        v_pad = getattr(self, "_v_pad", None)
-        if not v_pad or "qcol" not in qe or "q_dense" in qe:
-            return qe
-        out = dict(qe)
-        out["q_dense"] = S._densify(qe["qcol"], qe["qval"], v_pad)
-        return out
+    def _pair_post(self, an, bn, dot):
+        """Map pairwise dots [B, C, C2] to distances given row norms
+        an [B, C], bn [B, C2]; per-class override."""
+        raise NotImplementedError
+
+    def pair_block(self, qe, rows, pad, extra, v_pad: int):
+        """Pairwise distances of per-row candidate sets [B, C] x [B, C2]
+        for the construction heuristic (methods/hnsw.py _score_pairs):
+        per-candidate densified tables + take_along_axis gathers instead
+        of the searchsorted path (the remaining TPU-fault suspect in the
+        wave program). Returns None when the gathered encodings lack CSR
+        columns (then the generic vmap fallback runs)."""
+        acol, aval = qe.get("qcol"), qe.get("qval")
+        bcol = extra.get("cols")
+        if (
+            acol is None
+            or bcol is None
+            or getattr(acol, "ndim", 0) != 3
+            or getattr(bcol, "ndim", 0) != 3
+        ):
+            return None
+        dot = S.pair_dots_qdense(acol, aval, bcol, rows, v_pad)
+        an = S.norms_from_vals(aval)  # [B, C]
+        bn = S.norms_from_vals(rows)  # [B, C2]
+        return self._pair_post(an, bn, dot) + pad[:, None, :]
 
     def _dot(self, qenc, xc, precision: str = "float32"):
-        """Sparse dot block: dense-after-scatter MXU matmul when the
-        vocabulary gate is present, sorted-lookup otherwise (gather-
-        scored graph candidates, unbounded id spaces)."""
+        """Sparse dot block: densified-query gather when q_dense rides
+        with the queries, dense-after-scatter MXU matmul when only the
+        corpus vocabulary gate is present (exact scan), sorted-lookup
+        otherwise (unbounded id spaces)."""
+        qd = qenc.get("q_dense")
+        if qd is not None and xc["cols"].ndim == 2:
+            return S.dot_qdense(qd, xc["cols"], xc["x"])
         vm = xc.get("vocab_mark")
         if vm is not None and xc["cols"].ndim == 2:
             return S.dot_blocked_dense(
@@ -264,6 +297,10 @@ class SparseCosineSpace(SparseDotBase):
     def _post_gathered_dot(self, qenc, rows, dot):
         return jnp.maximum(0.0, 1.0 - self._norm_gathered(qenc, rows, dot))
 
+    def _pair_post(self, an, bn, dot):
+        den = jnp.maximum(an[:, :, None] * bn[:, None, :], _TINY)
+        return jnp.maximum(0.0, 1.0 - dot / den)
+
 
 @register_space("cosinesimil_sparse_bin_fast")
 class SparseCosineBinSpace(SparseCosineSpace):
@@ -284,6 +321,10 @@ class SparseAngularSpace(SparseDotBase):
     def _post_gathered_dot(self, qenc, rows, dot):
         return jnp.arccos(jnp.clip(self._norm_gathered(qenc, rows, dot), -1.0, 1.0))
 
+    def _pair_post(self, an, bn, dot):
+        den = jnp.maximum(an[:, :, None] * bn[:, None, :], _TINY)
+        return jnp.arccos(jnp.clip(dot / den, -1.0, 1.0))
+
 
 @register_space("negdotprod_sparse")
 @register_space("negdotprod_sparse_fast")
@@ -294,6 +335,9 @@ class SparseNegDotSpace(SparseDotBase):
         return -self._dot(qenc, xc, precision)
 
     def _post_gathered_dot(self, qenc, rows, dot):
+        return -dot
+
+    def _pair_post(self, an, bn, dot):
         return -dot
 
 
@@ -319,6 +363,9 @@ class SparseQueryNormNegDotSpace(SparseDotBase):
     def _post_gathered_dot(self, qenc, rows, dot):
         qn = jnp.maximum(S.norms_from_vals(qenc["qval"]), _TINY)
         return -dot / qn[:, None]
+
+    def _pair_post(self, an, bn, dot):
+        return -dot / jnp.maximum(an[:, :, None], _TINY)
 
 
 # ---------------- Lp family ----------------
@@ -380,13 +427,58 @@ class SparseLpSpace(SparseLpBase):
 # ---------------- Jaccard ----------------
 
 
-@register_space("sparse_jaccard")
+@register_space("jaccard_sparse")  # C++ registry spelling (space_sparse_jaccard.h:31)
+@register_space("sparse_jaccard")  # Zig-whitelist spelling
 class SparseJaccardSpace(SparseSpaceBase):
     """1 - |A∩B|/|A∪B| over sorted id sets; values ignored (reference:
     space_sparse_jaccard.h, distcomp.h:253-262)."""
 
     name = "sparse_jaccard"
     dense_dot_ok = True  # intersection counts = indicator matmul
+
+    def _qdense_values(self, qval: jax.Array) -> jax.Array:
+        return jnp.ones(qval.shape, jnp.float32)
+
+    def gathered_block(self, qenc, rows, pad, extra):
+        """Graph-candidate jaccard via the densified presence table:
+        inter[b, k] = #(candidate ids present in query b)."""
+        qd = qenc.get("q_dense")
+        cols = extra.get("cols")
+        xlen = extra.get("len")
+        if qd is None or cols is None or xlen is None or cols.ndim != 3:
+            return None
+        b, k, nnz = cols.shape
+        v = qd.shape[1]
+        idx = jnp.clip(cols.reshape(b, k * nnz) - 1, 0, v - 1)
+        hit = jnp.take_along_axis(qd, idx, axis=1).reshape(b, k, nnz)
+        # mask padded/out-of-range candidate slots explicitly (their
+        # clipped index may land on a real query term)
+        real = (cols >= 1) & (cols <= v)
+        inter = jnp.sum(jnp.where(real, hit, 0.0), axis=-1)
+        union = qenc["qlen"][:, None] + xlen - inter
+        d = jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0)
+        return d + pad
+
+    def pair_block(self, qe, rows, pad, extra, v_pad: int):
+        acol = qe.get("qcol")
+        bcol = extra.get("cols")
+        alen, blen = qe.get("qlen"), extra.get("len")
+        if (
+            acol is None
+            or bcol is None
+            or alen is None
+            or blen is None
+            or getattr(acol, "ndim", 0) != 3
+            or getattr(bcol, "ndim", 0) != 3
+        ):
+            return None
+        ones_a = jnp.ones(acol.shape, jnp.float32)
+        # b-side indicator must zero padded slots: PAD_X clips in-range
+        ones_b = ((bcol >= 1) & (bcol <= v_pad)).astype(jnp.float32)
+        inter = S.pair_dots_qdense(acol, ones_a, bcol, ones_b, v_pad)
+        union = alen[:, :, None] + blen[:, None, :] - inter
+        d = jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0)
+        return d + pad[:, None, :]
 
     def _block_impl(self, qenc, xc, precision):
         vm = xc.get("vocab_mark")
