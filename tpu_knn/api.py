@@ -144,6 +144,21 @@ class Index:
         self.store.add_uint8_batch(vectors, ids)
         self._mark_dirty(old)
 
+    def add_bit_batch_packed(
+        self,
+        words: Any,
+        n_bits: int | None = None,
+        ids: Sequence[int] | None = None,
+    ) -> None:
+        """Add u32-word-packed bit vectors (the reference's native bit
+        format, space_bit_hamming.h:43-52): bit j of word i is element
+        32*i+j; pass ``n_bits`` to drop last-word padding. Unpacked to
+        0/1 uint8 rows at ingestion — the TPU kernels popcount on the
+        MXU over unpacked rows (spaces/bits.py)."""
+        from .spaces.bits import unpack_bit_vectors
+
+        self.add_uint8_batch(unpack_bit_vectors(words, n_bits), ids)
+
     def add_string_batch(self, strings: Sequence[str | bytes], ids: Sequence[int] | None = None) -> None:
         old = len(self.store)
         self.store.add_string_batch(strings, ids)
@@ -359,6 +374,10 @@ class Index:
                 if hasattr(leaf, "nbytes"):
                     total += leaf.nbytes
             for leaf in jax.tree_util.tree_leaves(getattr(self.method, "graph", None) or ()):
+                if hasattr(leaf, "nbytes"):
+                    total += leaf.nbytes
+            # upper-level adjacencies, replicated neighbor stores, ...
+            for leaf in jax.tree_util.tree_leaves(list(self.method.aux_device_arrays())):
                 if hasattr(leaf, "nbytes"):
                     total += leaf.nbytes
         return total

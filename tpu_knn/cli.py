@@ -17,6 +17,7 @@ read raw lines. Results print as a table per k/range value (report.h).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -100,11 +101,28 @@ def build_parser() -> argparse.ArgumentParser:
     a("--recallOnly", action="store_true", help="compute only recall")
     a("--logFile", "-l", default="", help="log file")
     a("--outFile", "-o", default="", help="result output file (default stdout)")
+    a("--platform", default="", help="JAX platform pin (cpu/tpu); defaults to $JAX_PLATFORMS")
     return p
+
+
+def _pin_platform(requested: str) -> None:
+    """Apply the platform choice before first device use. The env var
+    alone does not stick on images whose site hook pre-selects an
+    experimental platform — jax.config.update is the reliable path."""
+    plat = requested or os.environ.get("JAX_PLATFORMS", "")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backend already initialized; env choice already took
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _pin_platform(args.platform)
     if args.logFile:
         LOGGER.set_file(args.logFile)
     out = open(args.outFile, "w") if args.outFile else sys.stdout

@@ -95,6 +95,12 @@ class Method:
         """Reconstruct from saved state; default rebuilds from the data."""
         self.create_index(store, params)
 
+    def aux_device_arrays(self):
+        """Device arrays beyond .data/.graph that count toward the index
+        footprint (memory_usage_bytes) — e.g. upper-level adjacencies or
+        replicated neighbor stores. Default: none."""
+        return ()
+
     # -- incremental maintenance --
     def add_batch(self, store: DataStore, new_positions: Sequence[int]) -> None:
         raise RuntimeNmsError(f"{self.name} does not support incremental addition")

@@ -140,6 +140,102 @@ def _vptree_knn(
     return md, ids, ndist
 
 
+def _vptree_visit_masks(dpiv, medians, r, pruner, depth: int):
+    """Per-query leaf visit masks for a fixed ball radius ``r`` [Q] —
+    the phase-3 pruner rule of _vptree_knn (searchoracle.h Polynomial
+    Pruner; with alpha=exp=1 it is the exact triangle-inequality rule:
+    skip the right child iff r < median - d(q,pivot), etc.)."""
+    b = dpiv.shape[0]
+    aL, eL, aR, eR = pruner[0], pruner[1], pruner[2], pruner[3]
+    visit = jnp.ones((b, 1), bool)
+    for lvl in range(depth):
+        lo = (1 << lvl) - 1
+        width = 1 << lvl
+        dq = jax.lax.dynamic_slice_in_dim(dpiv, lo, width, 1)
+        med = jax.lax.dynamic_slice_in_dim(medians, lo, width, 0)[None, :]
+        diffL = jnp.maximum(med - dq, 0.0)
+        diffR = jnp.maximum(dq - med, 0.0)
+        left_only = (dq <= med) & (r[:, None] < aL * diffL**eL)
+        right_only = (dq >= med) & (r[:, None] < aR * diffR**eR) & ~left_only
+        go_left = visit & ~right_only
+        go_right = visit & ~left_only
+        visit = jnp.stack([go_left, go_right], axis=2).reshape(b, 2 * width)
+    return visit
+
+
+@partial(jax.jit, static_argnames=("space", "depth", "chunk"))
+def _vptree_range_counts(
+    space, qenc, data, pivot_pos, medians, leaf_of, leaf_count, pruner,
+    radius, depth: int, chunk: int,
+):
+    """Pruned range pass 1: per-query hit counts (leaves + pivots) and
+    the distance-computation total, without materializing [Q, N]."""
+    n_internal = pivot_pos.shape[0]
+    n_leaves = 1 << depth
+    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    xc = _gather_xc(space, data, pivot_pos)
+    dpiv = space.block(qenc, xc)  # [Q, n_internal]
+    r = jnp.full(b, radius, jnp.float32)
+    visit = _vptree_visit_masks(dpiv, medians, r, pruner, depth)
+
+    def step(acc, ci):
+        xcc = space.slice_data(data, ci * chunk, chunk)
+        d = space.block(qenc, xcc)
+        lf = jax.lax.dynamic_slice_in_dim(leaf_of, ci * chunk, chunk, 0)
+        vis = (
+            jnp.take_along_axis(
+                visit, jnp.clip(lf, 0, n_leaves - 1)[None, :].repeat(b, 0), 1
+            )
+            & (lf >= 0)[None, :]
+        )
+        hit = vis & (d <= radius)
+        return acc + jnp.sum(hit.astype(jnp.int32), axis=1), None
+
+    acc0 = jnp.sum((dpiv <= radius).astype(jnp.int32), axis=1)
+    counts, _ = jax.lax.scan(step, acc0, jnp.arange(data.ids.shape[0] // chunk))
+    ndist = jnp.int32(b * n_internal) + jnp.sum(visit * leaf_count[None, :])
+    return counts, ndist
+
+
+@partial(jax.jit, static_argnames=("space", "cap", "depth", "chunk"))
+def _vptree_range_collect(
+    space, qenc, data, pivot_pos, medians, leaf_of, leaf_count, pruner,
+    radius, cap: int, depth: int, chunk: int,
+):
+    """Pruned range pass 2: ascending ([Q, cap] dists, corpus positions)
+    of all hits; (+inf, -1) past each query's count."""
+    n_internal = pivot_pos.shape[0]
+    n_leaves = 1 << depth
+    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    xc = _gather_xc(space, data, pivot_pos)
+    dpiv = space.block(qenc, xc)
+    r = jnp.full(b, radius, jnp.float32)
+    visit = _vptree_visit_masks(dpiv, medians, r, pruner, depth)
+
+    def chunk_dists(ci):
+        xcc = space.slice_data(data, ci * chunk, chunk)
+        d = space.block(qenc, xcc)
+        lf = jax.lax.dynamic_slice_in_dim(leaf_of, ci * chunk, chunk, 0)
+        vis = (
+            jnp.take_along_axis(
+                visit, jnp.clip(lf, 0, n_leaves - 1)[None, :].repeat(b, 0), 1
+            )
+            & (lf >= 0)[None, :]
+        )
+        return jnp.where(vis & (d <= radius), d, INF)
+
+    cd, cpos = T.streaming_smallest_k(
+        chunk_dists, data.ids.shape[0] // chunk, chunk, b, cap
+    )
+    # pivots are real points too (heap nodes hold them, not the leaves)
+    kp = min(cap, n_internal)
+    pd, ppos = T.smallest_k(
+        jnp.where(dpiv <= radius, dpiv, INF), kp, pivot_pos
+    )
+    ppos = jnp.where(jnp.isinf(pd), -1, ppos)
+    return T.merge_topk(cd, cpos, pd, ppos, cap)
+
+
 def _gather_xc(space, data, rows):
     """Corpus slice at arbitrary row indices, in block()'s xc format."""
     from ..ops.graph import gather_rows, inject_term
@@ -348,26 +444,49 @@ class VPTree(Method):
         return self._finalize_knn(d, ids)
 
     def range(self, points, radius: float):
-        """Pruned range query (reference: vptree.cc GenericSearch with
-        RangeQuery). Implemented as a full masked scan — the visited-set
-        semantics of kNN phase 3 with a fixed radius collapse to this,
-        and exactness is what the reference's range contract requires."""
-        from .seq_search import _all_dists_device
-
+        """Pruned range query (reference: vptree.cc:417-470 GenericSearch
+        with RangeQuery): the kNN phase-3 visit-mask rule with a fixed
+        ball radius prunes whole subtrees (exact at the default
+        alpha=1 pruner, approximate beyond — same contract as kNN), and
+        hits stream through a running smallest-cap merge so device
+        memory stays O(Q*(cap+chunk)), never [Q, N]."""
         if self._tree is None:
             raise IndexNotBuiltError("vptree: index not built")
         qenc = self.space.encode_queries(points)
-        chunk = self.data.ids.shape[0]
-        dists = np.asarray(_all_dists_device(self.space, qenc, self.data, chunk, "float32"))
+        t = self._tree
+        from ..core.dataset import round_up
+
+        if t["pivot_pos"].shape[0] == 0:
+            # degenerate single-leaf tree: defer to the streamed scan
+            from .seq_search import SeqSearch
+
+            tmp = SeqSearch(self.space, Params())
+            tmp.data, tmp._chunk = self.data, self._chunk
+            out = tmp.range(points, radius)
+            self.dist_comps += tmp.dist_comps
+            return out
+        args = (
+            self.space, qenc, self.data, t["pivot_pos"], t["medians"],
+            t["leaf_of"], t["leaf_count"], self._pruner(),
+        )
+        counts, nd = _vptree_range_counts(
+            *args, float(radius), self.depth, self._chunk
+        )
+        counts = np.asarray(counts)
+        self._add_dist_comps(nd)
+        f32 = np.zeros(0, np.float32)
+        if counts.max(initial=0) == 0:
+            return [(np.zeros(0, np.int32), f32) for _ in range(counts.shape[0])]
+        cap = min(int(round_up(int(counts.max()), 128)), self.data.ids.shape[0])
+        dk, pos = _vptree_range_collect(
+            *args, float(radius), cap, self.depth, self._chunk
+        )
+        dk, pos = np.asarray(dk), np.asarray(pos)
         ids = np.asarray(self.data.ids)
-        self.dist_comps += dists.shape[0] * self.data.count
-        out = []
-        for row in dists:
-            sel = np.nonzero(row <= radius)[0]
-            order = np.argsort(row[sel], kind="stable")
-            sel = sel[order]
-            out.append((ids[sel].copy(), row[sel].copy()))
-        return out
+        return [
+            (ids[pos[i, :c]].copy(), dk[i, :c].copy())
+            for i, c in enumerate(counts)
+        ]
 
     # ---------------- persistence ----------------
 

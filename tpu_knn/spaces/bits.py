@@ -25,6 +25,33 @@ from ..ops import distance as D
 from .dense import DenseSpace
 
 
+def unpack_bit_vectors(words, n_bits: int | None = None) -> np.ndarray:
+    """Unpack reference-format packed bit vectors into 0/1 uint8 rows.
+
+    ``words``: uint32 [n, w] where bit j of word i is element 32*i + j
+    (the reference's object layout, space_bit_hamming.h:43-52 /
+    space_bit_vector.h — WITHOUT the trailing element-count word the
+    reference appends to each object). ``n_bits`` drops the tail padding
+    of the last word (default keeps all 32*w columns).
+    """
+    w = np.ascontiguousarray(np.asarray(words))
+    if w.ndim != 2 or w.dtype.kind != "u" or w.dtype.itemsize != 4:
+        raise InvalidArgumentError("packed bit vectors must be uint32 [n, words]")
+    w = w.astype("<u4", copy=False)  # i*32+j element order needs LE bytes
+    bits = np.unpackbits(
+        w.view(np.uint8).reshape(w.shape[0], -1), axis=1, bitorder="little"
+    )
+    if n_bits is not None:
+        if not 0 < n_bits <= 32 * w.shape[1]:
+            raise InvalidArgumentError(
+                f"n_bits={n_bits} out of range for {w.shape[1]} packed words"
+            )
+        if np.any(bits[:, n_bits:]):
+            raise InvalidArgumentError("padding bits beyond n_bits must be zero")
+        bits = bits[:, :n_bits]
+    return bits
+
+
 class BitSpaceBase(DenseSpace):
     data_kind = DataKind.UINT8
     np_dtype = np.uint8

@@ -460,16 +460,19 @@ class JSDivSpace(DenseSpace):
         return D.js_div_blocked(qenc["q"], xc["x"])
 
 
-@register_space("js_div_slow")
+@register_space("jsdivslow")  # C++ registry spelling (space_js.h:29)
+@register_space("js_div_slow")  # Zig-whitelist spelling (lib.zig)
 class JSDivSlow(JSDivSpace):
     name = "js_div_slow"
 
 
+@register_space("jsdivfast")  # C++ registry spelling (space_js.h:30)
 @register_space("js_div_fast")
 class JSDivFast(JSDivSpace):
     name = "js_div_fast"
 
 
+@register_space("jsdivfastapprox")  # C++ registry spelling (space_js.h:31)
 @register_space("js_div_fast_approx")
 class JSDivFastApprox(JSDivSpace):
     name = "js_div_fast_approx"
