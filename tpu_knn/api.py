@@ -67,7 +67,14 @@ class Index:
         method: str = "hnsw",
         data_type: DataKind | str = DataKind.DENSE,
         dist_type: DistKind | str = DistKind.FLOAT,
+        mesh: Any = None,
     ):
+        """``mesh``: scale the index over a device mesh — an int N (an
+        N-device jax.sharding.Mesh is created at build time), or a Mesh.
+        Supported methods: hnsw (per-shard subgraphs, parallel/
+        hnsw_sharded.py) and seq_search/brute_force (sharded exact scan,
+        parallel/sharded.py). The corpus is row-sharded, queries are
+        replicated, per-shard top-k merges over ICI."""
         if isinstance(data_type, str):
             data_type = DataKind(data_type)
         if isinstance(dist_type, str):
@@ -89,6 +96,12 @@ class Index:
             raise InvalidArgumentError(
                 f"space {self.space_name!r} uses {self.space.dist_kind.value} distances, "
                 f"but index was created with {dist_type.value}"
+            )
+        self.mesh = mesh
+        if mesh is not None and method not in ("hnsw", "seq_search", "brute_force"):
+            raise InvalidArgumentError(
+                f"method {method!r} has no distributed implementation; "
+                "mesh= supports hnsw and seq_search/brute_force"
             )
         self.store = DataStore(data_type)
         self.method = None
@@ -195,12 +208,35 @@ class Index:
 
     # ---------------- build ----------------
 
+    def _resolve_mesh(self):
+        """int -> Mesh at first use (device enumeration is deferred so an
+        Index can be constructed before the backend is chosen)."""
+        if isinstance(self.mesh, int):
+            from .parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.mesh)
+        return self.mesh
+
+    def _make_method(self, params: Params):
+        """Method factory honoring the mesh routing (also used by the
+        load path, io/persist.py)."""
+        if self.mesh is not None:
+            mesh = self._resolve_mesh()
+            if self.method_name in ("seq_search", "brute_force"):
+                from .parallel.sharded import DistributedSeqSearch
+
+                return DistributedSeqSearch(self.space, mesh, params)
+            from .parallel.hnsw_sharded import ShardedHnsw
+
+            return ShardedHnsw(self.space, mesh, params)
+        return create_method(self.method_name, self.space, params)
+
     def build_index(self, index_params: Params | dict | None = None, print_progress: bool = False) -> None:
         params = Params.of(index_params) if index_params is not None else (self._index_params or Params())
         self._index_params = params
         if print_progress:
             log("INFO", f"building {self.method_name} over {len(self.store)} objects")
-        self.method = create_method(self.method_name, self.space, params)
+        self.method = self._make_method(params)
         self.method.progress = print_progress  # per-wave logging (hnsw)
         self.method.create_index(self.store, params)
         if self._query_params is not None:

@@ -90,6 +90,14 @@ def save_index(index, path: str, save_data: bool = True) -> None:
         "dist_type": index.dist_type.value,
         "index_params": (index._index_params or Params()).as_dict(),
         "count": len(index.store),
+        # distributed indices record the mesh size; load recreates an
+        # equal-size mesh over the then-available devices
+        "mesh_devices": (
+            int(index.mesh.devices.size)
+            if getattr(index, "mesh", None) is not None
+            and not isinstance(index.mesh, int)
+            else int(index.mesh or 0)
+        ),
     }
     state = index.method.state_arrays() if index.method is not None else {}
     try:
@@ -118,6 +126,7 @@ def load_index(path: str, load_data: bool = True):
         header["method"],
         DataKind(header["data_type"]),
         DistKind(header["dist_type"]),
+        mesh=header.get("mesh_devices", 0) or None,
     )
     index._index_params = Params(header["index_params"])
     if load_data:
@@ -129,9 +138,7 @@ def load_index(path: str, load_data: bool = True):
     state = {
         k[len("state_") :]: idx_npz[k] for k in idx_npz.files if k.startswith("state_")
     }
-    from ..core.registry import create_method
-
-    index.method = create_method(index.method_name, index.space, index._index_params)
+    index.method = index._make_method(index._index_params)
     index.method.restore(index.store, state, index._index_params)
     index.built = True
     return index

@@ -91,7 +91,17 @@ def _subset_store(store: DataStore, lo: int, hi: int) -> DataStore:
 
 
 class ShardedHnsw:
-    """Builds and queries S per-shard HNSW graphs under one mesh."""
+    """Builds and queries S per-shard HNSW graphs under one mesh.
+
+    Duck-types the Method protocol (methods/base.py) so Index can route
+    to it directly via ``Index(..., mesh=...)`` — the reference's
+    index-method contract (hnsw.cc CreateIndex/Search) over a device
+    mesh instead of a thread pool."""
+
+    name = "hnsw"
+    supports_range = False
+    supports_incremental = False
+    progress = False
 
     def __init__(self, space, mesh: Mesh, index_params: Params | None = None,
                  axis: str = SHARD_AXIS):
@@ -110,6 +120,46 @@ class ShardedHnsw:
         self.ef_search = 20
         self.expand = 4
         self._stacked = None
+        self._shard_meta: list[dict] = []  # per-shard host state (persistence)
+        self.dist_comps = 0
+        self.store: DataStore | None = None
+
+    # ---------------- Method protocol (methods/base.py duck type) ----
+
+    @property
+    def data(self):
+        """Stacked per-shard corpus encodings (memory accounting)."""
+        return self._stacked["corpus"] if self._stacked else None
+
+    @property
+    def graph(self):
+        if not self._stacked:
+            return None
+        return {"level0": self._stacked["level0"], "upper": self._stacked["upper"]}
+
+    def aux_device_arrays(self):
+        return (self._stacked["ids"],) if self._stacked else ()
+
+    def create_index(self, store: DataStore, params: Params | None = None) -> None:
+        self.build(store)
+
+    def knn_is_exact(self) -> bool:
+        return False
+
+    def range(self, points, radius: float):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("sharded hnsw does not support range queries")
+
+    def add_batch(self, store, new_positions):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("sharded hnsw does not support incremental addition")
+
+    def delete_batch(self, positions, strategy="none"):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("sharded hnsw does not support deletion")
 
     # ---------------- build ----------------
 
@@ -123,6 +173,7 @@ class ShardedHnsw:
         return out
 
     def build(self, store: DataStore) -> None:
+        self.store = store
         s = self.mesh.devices.size
         n = len(store)
         bounds = self._shard_bounds(n, s)
@@ -313,6 +364,21 @@ class ShardedHnsw:
             "level0": jnp.stack(lvl0),
             "upper": tuple(jnp.stack(u) for u in uppers),
         }
+        # small host-side per-shard state: enough to restore each shard's
+        # Hnsw (methods/hnsw.py state_arrays contract) from the stacked
+        # graph arrays without rebuilding
+        self._shard_meta = [
+            {
+                "levels": np.asarray(h.levels),
+                "order": np.asarray(h.order),
+                "meta": np.asarray(
+                    [h.M, h.maxM, h.maxM0, h.ef_construction, h._entry]
+                ),
+                "rows": int(h.data.ids.shape[0]),
+                "upper_rows": [int(u.shape[0]) for u in h._upper],
+            }
+            for h in shards
+        ]
         self._shard_devices()
 
     def _shard_devices(self) -> None:
@@ -325,9 +391,65 @@ class ShardedHnsw:
         st["level0"] = jax.device_put(st["level0"], sh)
         st["upper"] = tuple(jax.device_put(u, sh) for u in st["upper"])
 
+    # ---------------- persistence (io/persist.py hooks) ----------------
+
+    def state_arrays(self) -> dict:
+        """Stacked graph arrays + the small per-shard host state needed
+        to re-slice them into shard Hnsw states on restore."""
+        if self._stacked is None:
+            return {}
+        st = self._stacked
+        out = {
+            "mesh_size": np.asarray([len(self._shard_meta)]),
+            "level0": np.asarray(st["level0"]),
+        }
+        for l, u in enumerate(st["upper"]):
+            out[f"upper_{l}"] = np.asarray(u)
+        for si, m in enumerate(self._shard_meta):
+            out[f"s{si}_levels"] = m["levels"]
+            out[f"s{si}_order"] = m["order"]
+            out[f"s{si}_meta"] = m["meta"]
+            out[f"s{si}_rows"] = np.asarray([m["rows"]])
+            out[f"s{si}_upper_rows"] = np.asarray(m["upper_rows"], np.int64)
+        return out
+
+    def restore(self, store: DataStore, state: dict, params: Params | None = None) -> None:
+        if not state:
+            self.build(store)
+            return
+        s = self.mesh.devices.size
+        saved = int(np.asarray(state["mesh_size"])[0])
+        if saved != s:
+            from ..core.errors import InvalidArgumentError
+
+            raise InvalidArgumentError(
+                f"sharded index was saved with {saved} shards; current mesh has {s}"
+            )
+        bounds = self._shard_bounds(len(store), s)
+        shards = []
+        for si, (lo, hi) in enumerate(bounds):
+            sub = _subset_store(store, lo, hi)
+            h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
+            rows = int(np.asarray(state[f"s{si}_rows"])[0])
+            sh_state = {
+                "level0": np.asarray(state["level0"])[si][:rows],
+                "levels": state[f"s{si}_levels"],
+                "order": state[f"s{si}_order"],
+                "meta": state[f"s{si}_meta"],
+            }
+            for l, ur in enumerate(np.asarray(state[f"s{si}_upper_rows"]).tolist()):
+                sh_state[f"upper_{l}"] = np.asarray(state[f"upper_{l}"])[si][: int(ur)]
+            h.restore(sub, sh_state)
+            shards.append(h)
+        self._stack(shards)
+        self.store = store
+
     # ---------------- search ----------------
 
     def set_query_time_params(self, params: Params | None) -> None:
+        if params is None:  # reset to defaults (Index passes None)
+            self.ef_search = 20
+            return
         pm_ef = Params.of(params)
         if pm_ef.has("ef"):
             self.ef_search = int(pm_ef.get("ef"))

@@ -95,6 +95,93 @@ def sharded_exact_knn(
     return f(qenc, corpus, data.ids)
 
 
+class DistributedSeqSearch:
+    """Method-protocol adapter for the sharded exact scan, so
+    ``Index(..., method="seq_search", mesh=...)`` routes queries through
+    :func:`sharded_exact_knn` (the TPU-native analog of the reference's
+    thread-sharded scan + merge, seqsearch.cc:73-98). Data lives
+    row-sharded over the mesh; queries are replicated; the per-shard
+    top-k merges over ICI."""
+
+    name = "seq_search"
+    supports_range = False
+    supports_incremental = False
+    progress = False
+
+    def __init__(self, space, mesh: Mesh, index_params=None, axis: str = SHARD_AXIS):
+        from ..core.params import ParamManager, Params
+
+        self.space = space
+        self.mesh = mesh
+        self.axis = axis
+        pm = ParamManager(Params.of(index_params))
+        self.precision = pm.get("precision", "float32", str)
+        pm.check_unused()
+        self.data = None
+        self.graph = None
+        self.dist_comps = 0
+        self.store = None
+
+    def aux_device_arrays(self):
+        return ()
+
+    def create_index(self, store, params=None) -> None:
+        self.store = store
+        s = self.mesh.devices.size
+        # rows divisible by the mesh AND each shard slice 8-row aligned
+        self.data = self.space.encode_dataset(store, row_multiple=8 * s)
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(self.mesh, P(self.axis))
+        put = lambda a: jax.device_put(a, sh) if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == self.data.ids.shape[0] else a
+        self.data = jax.tree_util.tree_map(put, self.data)
+
+    def set_query_time_params(self, params) -> None:
+        pass  # the exact scan has no query-time knobs
+
+    def knn(self, points, k: int):
+        import numpy as np
+
+        from ..core.errors import IndexNotBuiltError
+
+        if self.data is None:
+            raise IndexNotBuiltError("seq_search: index not built")
+        qenc = self.space.encode_queries(points)
+        kk = min(k, int(self.data.count)) if self.data.count else k
+        d, ids = sharded_exact_knn(
+            self.space, qenc, self.data, max(kk, 1), self.mesh, self.precision, self.axis
+        )
+        d, ids = np.asarray(d), np.asarray(ids)
+        if kk < k:
+            d = np.pad(d, ((0, 0), (0, k - kk)), constant_values=np.inf)
+            ids = np.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+        self.dist_comps += d.shape[0] * int(self.data.count)
+        bad = ~np.isfinite(d) | (d >= 1e29)
+        return np.where(bad, np.inf, d), np.where(bad, -1, ids)
+
+    def range(self, points, radius: float):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("distributed seq_search does not support range yet")
+
+    def add_batch(self, store, new_positions):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("distributed seq_search does not support incremental addition")
+
+    def delete_batch(self, positions, strategy="none"):
+        from ..core.errors import RuntimeNmsError
+
+        raise RuntimeNmsError("distributed seq_search does not support deletion")
+
+    # persistence: nothing beyond the data store (restore re-encodes)
+    def state_arrays(self) -> dict:
+        return {}
+
+    def restore(self, store, state, params=None) -> None:
+        self.create_index(store, params)
+
+
 def merge_sharded_topk(dists, ids, k: int, axis: str = SHARD_AXIS):
     """Inside-shard_map helper: all_gather + re-top-k (ascending)."""
     all_d = jax.lax.all_gather(dists, axis, axis=0)
