@@ -1,6 +1,9 @@
 #!/bin/bash
-# Sparse-HNSW TPU fault bisect: each stage is a fresh process (a worker
+# Sparse-HNSW TPU validation: each stage is a fresh process (a worker
 # crash kills the jax client). Sleeps after a crash for worker recovery.
+# Round-2 sketch-proxy design: construction on dense JL sketches +
+# hybrid exact base refinement; queries traverse with exact sparse
+# scoring (densified-query tables).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -15,15 +18,10 @@ RUN() {
   return $rc
 }
 
-# S1: re-measure 10k with the einsum-precision fix (cheap, high info)
+# S1: 10k smoke of the sketch-proxy build + exact-traversal queries
 RUN 10000 512 100 sweep
 
-# S2: pure corpus-scale test — 100k at the proven 10k shape params
-if RUN 100000 512 100; then
-  # scale is fine -> test waveSize, then efC (the full config)
-  RUN 100000 1024 100 && RUN 100000 1024 200 sweep
-else
-  # scale faults even at proven shapes -> bisect N
-  RUN 32000 512 100 && RUN 56000 512 100
-fi
-echo "=== bisect done ===" >&2
+# S2: the 100k bench config (the scale that faulted the round-1 wave
+# program during build)
+RUN 100000 1024 100 sweep
+echo "=== validation done ===" >&2

@@ -165,6 +165,7 @@ def make_wave_step(
     mates: int,
     expand: int,
     exact_heur: bool,
+    exact_space=None,
 ):
     """Build the (unjitted) batched insertion wave step.
 
@@ -178,7 +179,10 @@ def make_wave_step(
     """
     oob = jnp.int32(2**30)
 
-    def wave_step(level0, upper, start, wl, entry, limit, corpus, qenc_all):
+    def wave_step(
+        level0, upper, start, wl, entry, limit, corpus, qenc_all,
+        ecorpus=None, eqenc_all=None,
+    ):
         """Insert/refresh points [start, start+w). ``limit`` bounds
         which graph nodes may be linked to: ``start`` during the
         initial build (frozen prefix), ``n`` during post passes
@@ -224,6 +228,20 @@ def make_wave_step(
             cand_i = jnp.concatenate([beam_i, mate_sel], axis=1)
             cand_d = jnp.concatenate([beam_d, mate_dd], axis=1)
             cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
+            if exact_space is not None and ecorpus is not None:
+                # hybrid refinement (sketch-proxy builds): the beam found
+                # the candidates with proxy scores; their base distances
+                # are recomputed EXACTLY in the host space so neighbor
+                # selection ranks true neighbors first. Pairwise scores
+                # stay on the proxy (exact pairs are the O(C^2 nnz)
+                # lookup storm that made round-1 sparse builds ~200x
+                # slower); the proxy's _sketch_post puts them on the
+                # host distance scale so the heuristic's pair-vs-base
+                # comparisons are consistent.
+                eqe = _gather_qenc(eqenc_all, wave_ids, n_total)
+                eqe = G.densify_queries(exact_space, eqe, ecorpus)
+                cand_d = G.score_rows(exact_space, eqe, ecorpus, cand_i)
+                cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
             pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
             keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
             sel = G.pack_selected(cand_i, keep, m)
@@ -358,6 +376,34 @@ def _hnsw_search(
     return d, ids, nd
 
 
+@partial(jax.jit, static_argnames=("pspace", "rspace", "ef", "k", "expand"))
+def _hnsw_search_sketch(
+    pspace, rspace, qenc_p, qenc_r, pdata, rdata, level0, upper, entry,
+    ef: int, k: int, expand: int,
+):
+    """Beam search on the dense sketch proxy + exact host-space re-rank
+    of the full beam (so reported distances/ids are exact; the proxy
+    only steers traversal)."""
+    pcorpus = pspace.corpus_dict(pdata)
+    b = qenc_p["q"].shape[0]
+    cur = jnp.full(b, entry, jnp.int32)
+    cur_d = G.score_rows(pspace, qenc_p, pcorpus, cur[:, None])[:, 0]
+    for adj in reversed(upper):
+        cur, cur_d = G.greedy_descent(pspace, qenc_p, pcorpus, adj, None, cur, cur_d)
+    _, beam_i, nd = G.beam_search(
+        pspace, qenc_p, pcorpus, level0, None, cur, ef=ef, expand=expand
+    )
+    rcorpus = rspace.corpus_dict(rdata)
+    ex_d = G.score_rows(rspace, qenc_r, rcorpus, beam_i)  # exact [B, ef]
+    from ..ops.topk import smallest_k
+
+    d, sel = smallest_k(ex_d, k)
+    pos = jnp.take_along_axis(beam_i, sel, 1)
+    pos = jnp.where(d >= INF, -1, pos)
+    ids = jnp.where(pos >= 0, rdata.ids[jnp.clip(pos, 0, rdata.ids.shape[0] - 1)], -1)
+    return d, ids, nd + jnp.sum(beam_i >= 0)
+
+
 @register_method("hnsw")
 class Hnsw(Method):
     name = "hnsw"
@@ -389,12 +435,30 @@ class Hnsw(Method):
         # 1M x 32 x 128) — opt-in; the final top-k is re-scored exactly
         # either way.
         self.replicate_neighbors = pm.get("replicateNeighbors", 0, int)
+        # JL-sketch width for the sparse CONSTRUCTION proxy (0 disables);
+        # only consulted when the space provides sketch_proxy. Queries
+        # traverse with exact host-space scoring by default: measured on
+        # the 100k bag-of-words bench distribution, top-10 cosine gaps
+        # (~0.03) sit below JL noise even at dsk=1024 (a full exact scan
+        # in sketch space contains only ~86% of the true top-10 at
+        # ef=200), so sketch traversal cannot reach high recall there.
+        # 1024 measured best on the bag-of-words toy (recall 0.853 vs
+        # 0.800 at 512 vs 0.877 for a fully-exact build); costs 4KB/row
+        # of transient f32 during construction.
+        self.sketch_dim = pm.get("sketchDim", 1024, int)
+        # opt-in: sketch-scored query traversal + exact re-rank of the
+        # beam (fast, recall-limited by sketch noise)
+        self.sketch_query = pm.get("sketchQuery", 0, int)
+        # hybrid construction: exact base distances for candidate
+        # selection while beams/pair scores stay on the proxy
+        self.exact_base = pm.get("exactBase", 1, int)
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
         self.seed = pm.get("seed", 0, int)
         pm.check_unused()
         self._nbr_store = None
+        self._proxy = None  # (SketchProxySpace, DenseDeviceData, R) or None
         # query-time defaults (reference: ef/efSearch default 20, hnsw.cc:483)
         self.ef_search = 20
         self._entry = 0  # global entry point (internal id; updated on delete)
@@ -480,17 +544,41 @@ class Hnsw(Method):
     def _encode_store(self, store: DataStore, n: int) -> None:
         """Encode + level-sorted reorder of the corpus, and all corpus
         points as query encodings (used to score point-point pairs
-        during construction)."""
+        during construction).
+
+        Sparse dot-family spaces additionally get a dense JL-sketch
+        *proxy* (spaces/sparse.py SketchProxySpace): the graph is built
+        and traversed entirely on the dense MXU path over sketches, and
+        the host space re-ranks the final beam exactly. sketchDim=0
+        disables the proxy (the raw sparse wave program is ~200x slower
+        on TPU and faulted the worker at 100k in round 1)."""
         self.data = self.space.encode_dataset(store, row_multiple=8)
+        self._proxy = None
         n_pad = self.data.ids.shape[0]
         if n == 0:
             self.graph = {"level0": jnp.full((n_pad, self.maxM0), NEG1)}
             self._upper = []
+            self._graph_space, self._graph_data = self.space, self.data
             return
         self.data = self._reorder_data(self.data, self.order, n)
-        self._qenc_all = self.space.encode_queries(
-            self.space.store_as_query_points(store)[self.order]
-        )
+        mk = getattr(self.space, "sketch_proxy", None)
+        if mk is not None and self.sketch_dim > 0:
+            self._proxy = mk(self.data, self.sketch_dim, self.seed)
+        self._exact_qenc_all = None
+        if self._proxy is not None:
+            pspace, pdata, _ = self._proxy
+            self._graph_space, self._graph_data = pspace, pdata
+            # corpus points as construction queries ARE the sketches
+            self._qenc_all = {"q": pdata.vecs[:n]}
+            if self.exact_base:
+                self._exact_qenc_all = self.space.encode_queries(
+                    self.space.store_as_query_points(store)[self.order]
+                )
+        else:
+            self._graph_space, self._graph_data = self.space, self.data
+            self._qenc_all = self.space.encode_queries(
+                self.space.store_as_query_points(store)[self.order]
+            )
         # row count of the per-node query encodings (unpadded)
         self._n_total = n
 
@@ -506,8 +594,12 @@ class Hnsw(Method):
         total = lo + num_waves * w
         wl_all = np.full(total, -1, np.int32)
         wl_all[: len(self.levels)] = self.levels
-        corpus = _corpus_dict(self.space, self.data)
+        corpus = _corpus_dict(self._graph_space, self._graph_data)
         qenc_all = self._qenc_all
+        ecorpus = eqenc = None
+        if self._exact_qenc_all is not None:
+            ecorpus = _corpus_dict(self.space, self.data)
+            eqenc = self._exact_qenc_all
         level0, upper = self.graph["level0"], self._upper
         # ProgressDisplay analog (reference: hnsw.cc:236): one INFO line
         # per ~10% of waves when build_index(print_progress=True)
@@ -525,6 +617,8 @@ class Hnsw(Method):
                 jnp.int32(start),  # frozen-prefix limit during the build
                 corpus,
                 qenc_all,
+                ecorpus,
+                eqenc,
             )
         # post passes: re-run every point against the FULL graph, merging
         # new neighborhoods into existing rows (reference: hnsw.cc:251-338,
@@ -542,6 +636,8 @@ class Hnsw(Method):
                     jnp.int32(n_total),  # full visibility
                     corpus,
                     qenc_all,
+                    ecorpus,
+                    eqenc,
                 )
         self.graph = {"level0": level0}
         self._upper = upper
@@ -562,7 +658,7 @@ class Hnsw(Method):
     def _make_wave_step(self, w: int, max_level: int):
         return jax.jit(
             make_wave_step(
-                self.space,
+                self._graph_space,
                 self._n_total,
                 w,
                 max_level,
@@ -573,6 +669,7 @@ class Hnsw(Method):
                 mates=min(self.wave_mates, w),
                 expand=self.construction_expand,
                 exact_heur=self.delaunay_type != 0,
+                exact_space=self.space if self._exact_qenc_all is not None else None,
             )
         )
 
@@ -629,6 +726,16 @@ class Hnsw(Method):
             raise IndexNotBuiltError("hnsw: index not built")
         qenc = self.space.encode_queries(points)
         ef = max(self.ef_search, k)
+        if self._proxy is not None and self.sketch_query:
+            pspace, pdata, r_mat = self._proxy
+            qenc_p = self.space.sketch_queries(qenc, r_mat)
+            d, ids, nd = _hnsw_search_sketch(
+                pspace, self.space, qenc_p, qenc, pdata, self.data,
+                self.graph["level0"], tuple(self._upper),
+                jnp.int32(self._entry), ef, k, self._effective_expand(ef),
+            )
+            self._add_dist_comps(nd)
+            return self._finalize_knn(d, ids)
         d, ids, nd = _hnsw_search(
             self.space, qenc, self.data, self.graph["level0"], tuple(self._upper),
             jnp.int32(self._entry), ef, k, self._effective_expand(ef),

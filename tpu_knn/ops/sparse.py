@@ -25,6 +25,7 @@ in practice), so padded slots never produce a spurious id match.
 
 from __future__ import annotations
 
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -240,6 +241,54 @@ def _reverse_found(qcol, xcol):
 
     found = jax.vmap(per_row)(xcol)  # [C, Q, nq]
     return None, jnp.moveaxis(found, 0, 1)  # [Q, C, nq]
+
+
+def sketch_matrix(v_pad: int, dsk: int, seed: int) -> jax.Array:
+    """Seeded Gaussian random-projection matrix f32[v_pad, dsk], scaled
+    1/sqrt(dsk) so E[<Rq, Rx>] = <q, x> (Johnson-Lindenstrauss). Fully
+    deterministic from (v_pad, dsk, seed): persistence stores only the
+    seed and regenerates the matrix on load."""
+    key = jax.random.PRNGKey(jnp.uint32(seed))
+    return jax.random.normal(key, (v_pad, dsk), jnp.float32) * (1.0 / dsk**0.5)
+
+
+@partial(jax.jit, static_argnames=("v_pad", "chunk"))
+def _sketch_chunks(col, val, R, v_pad: int, chunk: int):
+    n = col.shape[0]
+    nc = n // chunk
+
+    def one(args):
+        c, v = args
+        return _densify(c, v, v_pad) @ R
+
+    out = jax.lax.map(
+        one,
+        (
+            col.reshape(nc, chunk, col.shape[1]),
+            val.reshape(nc, chunk, val.shape[1]),
+        ),
+    )
+    return out.reshape(n, R.shape[1])
+
+
+def sketch_csr(col, val, R, chunk: int = 2048) -> jax.Array:
+    """Project padded-CSR rows through R: f32[N, dsk]. Each chunk is
+    densified over the padded vocabulary and hits the MXU once — the
+    transient [chunk, v_pad] block bounds memory. ``val`` carries any
+    per-space normalization (rows pre-normalized for the cosine family,
+    presence indicators for jaccard)."""
+    n = col.shape[0]
+    v_pad = R.shape[0]
+    chunk = min(chunk, max(n, 1))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        col = jnp.concatenate(
+            [col, jnp.full((n_pad - n, col.shape[1]), PAD_X, col.dtype)], 0
+        )
+        val = jnp.concatenate(
+            [val, jnp.zeros((n_pad - n, val.shape[1]), val.dtype)], 0
+        )
+    return _sketch_chunks(col, val, R, v_pad, chunk)[:n]
 
 
 def norms_from_vals(vals: jax.Array) -> jax.Array:

@@ -186,6 +186,10 @@ class ShardedHnsw:
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
+            # per-shard sketch proxies would need a shared R matrix and a
+            # global vocabulary width; until the sharded path grows those,
+            # shards build on the host space directly (round-1 behavior)
+            h.sketch_dim = 0
             h.create_index(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)
@@ -204,6 +208,10 @@ class ShardedHnsw:
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
+            # per-shard sketch proxies would need a shared R matrix and a
+            # global vocabulary width; until the sharded path grows those,
+            # shards build on the host space directly (round-1 behavior)
+            h.sketch_dim = 0
             h._prepare(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)  # stacks corpus/ids + the (empty) level0/upper
@@ -430,6 +438,10 @@ class ShardedHnsw:
         for si, (lo, hi) in enumerate(bounds):
             sub = _subset_store(store, lo, hi)
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
+            # per-shard sketch proxies would need a shared R matrix and a
+            # global vocabulary width; until the sharded path grows those,
+            # shards build on the host space directly (round-1 behavior)
+            h.sketch_dim = 0
             rows = int(np.asarray(state[f"s{si}_rows"])[0])
             sh_state = {
                 "level0": np.asarray(state["level0"])[si][:rows],

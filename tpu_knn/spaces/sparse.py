@@ -29,6 +29,7 @@ import numpy as np
 from ..core.dataset import (
     DataKind,
     DataStore,
+    DenseDeviceData,
     DistKind,
     SparseDeviceData,
     SparsePoint,
@@ -73,6 +74,51 @@ def _pack_csr(points: list[SparsePoint], n_pad: int, nnz_mult: int = 8, pad_col=
     return col, val, length
 
 
+class SketchProxySpace:
+    """Ordering-only dense stand-in for a sparse space over JL sketches.
+
+    Graph methods (HNSW/SW-graph) only ever *compare* distances — beam
+    merges, greedy descent, the neighbor-selection heuristic — so any
+    score that preserves the host space's per-query ordering works for
+    traversal and construction. This proxy scores d = -<s_q, s_x> on
+    dense random-projection sketches (ops/sparse.sketch_matrix /
+    sketch_csr): with rows pre-normalized by the host space's
+    _sketch_vals it approximates the cosine-family ordering, raw it
+    approximates (neg)dot. Exactness comes from the host space's final
+    re-rank of the beam (methods/hnsw.py), never from the proxy.
+
+    TPU rationale: construction scoring through per-candidate densified
+    tables / element gathers faulted the worker and ran ~200x slower
+    than dense waves (round-1 postmortem); the proxy makes sparse graph
+    builds byte-identical to the proven dense MXU path.
+    """
+
+    term_recompute = False
+    name = "sketch_proxy"
+
+    def __init__(self, dim: int, post=None):
+        self.dim = dim
+        # host-space monotone map from the -<s_q,s_x> estimate to that
+        # space's distance scale, so proxy values can be compared against
+        # exactly-computed distances during hybrid construction
+        self._post = post if post is not None else (lambda s: s)
+
+    def pass1_affine(self):
+        return (-1.0, 0.0, 0.0)
+
+    def pass1_post(self, s, qenc):
+        return self._post(s)
+
+    def corpus_dict(self, data) -> dict:
+        return {"vecs": data.vecs, "pad": data.extra["pad"]}
+
+    def block(self, qenc, xc, precision: str = "float32"):
+        from ..ops import distance as Dops
+
+        s = Dops.negdot_blocked(qenc["q"], xc["x"], precision)
+        return self._post(s) + xc["pad"][None, :]
+
+
 class SparseSpaceBase(Space):
     """Shared encode machinery for sparse float spaces."""
 
@@ -85,6 +131,44 @@ class SparseSpaceBase(Space):
     #: subclasses whose distance factors through dot / intersection
     #: counts opt into the dense-after-scatter fast path
     dense_dot_ok = False
+    #: subclasses whose per-query ordering factors through <q, x> opt
+    #: into sketch-proxy graph construction (see SketchProxySpace)
+    sketch_ok = False
+
+    def _sketch_vals(self, col, val, length):
+        """CSR values to project for the sketch (per-space normalization
+        so that -<s_q, s_x> preserves this space's per-query ordering)."""
+        return val
+
+    def _sketch_post(self, s):
+        """Monotone map from the -dot estimate to this space's distance
+        scale (enables mixing proxy and exact values during hybrid
+        construction). Identity where the distance IS -dot."""
+        return s
+
+    def sketch_proxy(self, data: SparseDeviceData, dsk: int, seed: int):
+        """(proxy_space, proxy_data, R) for graph methods, or None when
+        this space doesn't factor through dots or the vocabulary is
+        unbounded (no vocab_mark gate)."""
+        if not self.sketch_ok or "vocab_mark" not in data.extra:
+            return None
+        v_pad = data.extra["vocab_mark"].shape[0]
+        dskp = round_up(max(dsk, 128), 128)
+        r_mat = S.sketch_matrix(v_pad, dskp, seed)
+        vecs = S.sketch_csr(data.col, self._sketch_vals(data.col, data.val, data.length), r_mat)
+        pdata = DenseDeviceData(
+            vecs=vecs, ids=data.ids, count=data.count, dim=dskp
+        )
+        pdata.extra["pad"] = data.extra["pad"]
+        return SketchProxySpace(dskp, self._sketch_post), pdata, r_mat
+
+    def sketch_queries(self, qenc: dict, r_mat) -> dict:
+        """Proxy query encodings from already-encoded CSR queries. Query
+        ids beyond the corpus vocabulary drop out of the projection —
+        consistent with the exact path (they can match no corpus id; the
+        cosine normalization still uses the full query norm)."""
+        vals = self._sketch_vals(qenc["qcol"], qenc["qval"], qenc["qlen"])
+        return {"q": S.sketch_csr(qenc["qcol"], vals, r_mat)}
 
     def encode_dataset(self, store: DataStore, row_multiple: int = 8) -> SparseDeviceData:
         pts = store.sparse_points()
@@ -202,6 +286,7 @@ class SparseSpaceBase(Space):
 
 class SparseDotBase(SparseSpaceBase):
     dense_dot_ok = True
+    sketch_ok = True  # raw-value sketches: -<s_q,s_x> orders like -<q,x>
 
     def gathered_block(self, qenc, rows, pad, extra):
         """Distances of query b to its gathered candidate rows [B, K,
@@ -291,6 +376,15 @@ class SparseCosineSpace(SparseDotBase):
 
     name = "cosinesimil_sparse"
 
+    def _sketch_vals(self, col, val, length):
+        # row-normalize: for a fixed query, 1 - <q,x>/(|q||x|) orders
+        # exactly like -<q, x/|x|>
+        n = S.norms_from_vals(val)
+        return val / jnp.maximum(n, _TINY)[..., None]
+
+    def _sketch_post(self, s):
+        return jnp.maximum(0.0, 1.0 + s)  # s = -cos estimate
+
     def _block_impl(self, qenc, xc, precision):
         return jnp.maximum(0.0, 1.0 - self._norm_dot(qenc, xc))
 
@@ -314,6 +408,13 @@ class SparseAngularSpace(SparseDotBase):
     """acos(clip(dot/(|q||x|), -1, 1)) (reference: AngularDistance)."""
 
     name = "angulardist_sparse"
+
+    def _sketch_vals(self, col, val, length):
+        n = S.norms_from_vals(val)
+        return val / jnp.maximum(n, _TINY)[..., None]
+
+    def _sketch_post(self, s):
+        return jnp.arccos(jnp.clip(-s, -1.0, 1.0))
 
     def _block_impl(self, qenc, xc, precision):
         return jnp.arccos(jnp.clip(self._norm_dot(qenc, xc), -1.0, 1.0))
@@ -435,6 +536,19 @@ class SparseJaccardSpace(SparseSpaceBase):
 
     name = "sparse_jaccard"
     dense_dot_ok = True  # intersection counts = indicator matmul
+    sketch_ok = True
+
+    def _sketch_vals(self, col, val, length):
+        # normalized presence indicators: -<s_a, s_b> approximates the
+        # ordering of -|A∩B|/sqrt(|A||B|), a standard jaccard surrogate;
+        # the exact re-rank restores true jaccard distances
+        ind = ((col >= 1) & (col < S.PAD_X)).astype(jnp.float32)
+        return ind / jnp.maximum(jnp.sqrt(length.astype(jnp.float32)), 1.0)[..., None]
+
+    def _sketch_post(self, s):
+        # -s estimates |A∩B|/sqrt(|A||B|) (cosine of sets >= jaccard
+        # similarity): 1+s is a jaccard-scale surrogate distance
+        return jnp.clip(1.0 + s, 0.0, 1.0)
 
     def _qdense_values(self, qval: jax.Array) -> jax.Array:
         return jnp.ones(qval.shape, jnp.float32)
