@@ -160,15 +160,23 @@ class Napp(Method):
         npfx = min(self.num_prefix, p)
         self._npfx = npfx
 
-        # per-object prefix: numPrefix closest pivots, one streaming pass
+        # per-object prefix: numPrefix closest pivots. The corpus is
+        # encoded as queries ONCE (round 1 re-packed every 4096-point
+        # chunk on host — the 1M build bottleneck) and sliced on device
+        # per step; _gather_xc carries vocab_mark so sparse scoring runs
+        # dense-after-scatter on the MXU, not sorted lookups.
         points = self.space.store_as_query_points(store)
         n_pad = self.data.ids.shape[0]
         prefix = np.full((n_pad, npfx), -1, np.int32)
         xc_piv = _gather_xc(self.space, self.data, self._pivot_rows)
+        qenc_all = self.space.encode_queries(points)
         step = 4096
         for lo in range(0, n, step):
             hi = min(lo + step, n)
-            qenc = self.space.encode_queries(points[lo:hi])
+            qenc = {
+                k: (v[lo:hi] if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] >= n else v)
+                for k, v in qenc_all.items()
+            }
             d = _pivot_dists(self.space, qenc, xc_piv)  # [hi-lo, P]
             _, top = jax.lax.top_k(-d, npfx)
             prefix[lo:hi] = np.asarray(top)

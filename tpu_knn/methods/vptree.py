@@ -245,6 +245,11 @@ def _gather_xc(space, data, rows):
     extras2 = inject_term(space, r2, extras2)
     xc = {"x": r2[0], "pad": pad2[0]}
     xc.update({k: v[0] for k, v in extras2.items()})
+    if "vocab_mark" in c:
+        # static vocab-width carrier rides along un-gathered so sparse
+        # blocks against gathered rows take the dense-after-scatter MXU
+        # path instead of per-pair sorted lookups
+        xc["vocab_mark"] = c["vocab_mark"]
     return xc
 
 
@@ -338,57 +343,72 @@ class VPTree(Method):
         n_internal = (1 << depth) - 1
         n_leaves = 1 << depth
 
+        # Level-synchronous vectorized build (the round-1 version looped
+        # over 2^depth per-node Python segments per level AND scored each
+        # level's pivots against the WHOLE corpus — O(n^2) device work at
+        # the bottom levels; minutes of host time at 1M). Here every
+        # level is: one device dispatch scoring each active point against
+        # ITS OWN segment's pivot (O(n) distances), then one vectorized
+        # lexsort/median/split on host. Tree semantics match the
+        # reference (vptree.cc:69-105): random pivot, median split,
+        # pivot removed from the pool.
         qenc_all = self.space.encode_queries(self.space.store_as_query_points(store))
-        perm = np.arange(n, dtype=np.int64)
-        bounds = [(0, n)]  # subsets at the current level as perm slices
+        corpus = self.space.corpus_dict(self.data)
+        perm = np.arange(n, dtype=np.int64)  # active points, segment-contiguous
+        seg = np.zeros(n, np.int64)  # segment id of each active point
         pivot_pos = np.zeros(n_internal, np.int32)
         medians = np.zeros(n_internal, np.float32)
         node_base = 0
         for lvl in range(depth):
             width = 1 << lvl
-            pivots = np.zeros(width, np.int64)
-            for i, (lo, hi) in enumerate(bounds):
-                pivots[i] = perm[rng.integers(lo, hi)] if hi > lo else 0
-            # one blocked call: distances of this level's pivots to everything
-            qenc_p = _gather_qenc_rows(qenc_all, pivots)
-            d_all = np.asarray(
-                _pivot_block(self.space, qenc_p, self.data)
-            )  # [width, n_pad]
-            new_bounds = []
-            for i, (lo, hi) in enumerate(bounds):
-                node = node_base + i
-                piv = pivots[i]
-                pivot_pos[node] = piv
-                seg = perm[lo:hi]
-                seg = seg[seg != piv]  # pivot moves into the node
-                dseg = d_all[i, seg]
-                order = np.argsort(dseg, kind="stable")
-                seg = seg[order]
-                half = len(seg) // 2
-                med = (
-                    float(dseg[order[half - 1]] + dseg[order[half]]) / 2.0
-                    if 0 < half < len(seg)
-                    else (float(dseg[order[-1]]) if len(seg) else 0.0)
-                )
-                medians[node] = med
-                perm[lo : lo + len(seg)] = seg
-                perm[lo + len(seg) : hi] = piv  # stash pivot at the tail (ignored)
-                mid = lo + half
-                new_bounds.append((lo, mid))
-                new_bounds.append((mid, lo + len(seg)))
-            bounds = new_bounds
+            m = perm.shape[0]
+            seg_len = np.bincount(seg, minlength=width)[:width]
+            seg_start = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+            nz = seg_len > 0
+            off = rng.integers(0, np.maximum(seg_len, 1))
+            pidx = seg_start + np.minimum(off, np.maximum(seg_len - 1, 0))
+            piv_pts = np.zeros(width, np.int64)
+            if m:
+                piv_pts[nz] = perm[np.minimum(pidx, m - 1)][nz]
+            pivot_pos[node_base : node_base + width] = piv_pts
+            keep = np.ones(m, bool)
+            if m:
+                keep[pidx[nz]] = False  # pivots move into the nodes
+            perm, seg = perm[keep], seg[keep]
+            # one device pass: d(point, pivot-of-its-segment)
+            d = _self_pair_dists(
+                self.space, qenc_all, corpus, perm, piv_pts[seg]
+            )
+            order = np.lexsort((d, seg))  # segment-major, distance-minor
+            perm, seg, d = perm[order], seg[order], d[order]
+            seg_len2 = np.bincount(seg, minlength=width)[:width]
+            seg_start2 = np.concatenate([[0], np.cumsum(seg_len2)[:-1]])
+            half = seg_len2 // 2
+            last = seg_start2 + np.maximum(seg_len2 - 1, 0)
+            i1 = seg_start2 + np.maximum(half - 1, 0)
+            i2 = seg_start2 + np.minimum(half, np.maximum(seg_len2 - 1, 0))
+            take = lambda idx: d.take(np.minimum(idx, max(d.shape[0] - 1, 0)))
+            med = np.where(
+                (half > 0) & (half < seg_len2),
+                (take(i1) + take(i2)) / 2.0,
+                np.where(seg_len2 > 0, take(last), 0.0),
+            )
+            medians[node_base : node_base + width] = med.astype(np.float32)
+            pos_in_seg = np.arange(perm.shape[0], dtype=np.int64) - seg_start2[seg]
+            seg = 2 * seg + (pos_in_seg >= half[seg])
             node_base += width
-        # pack leaves
-        leaf_cap = max(max((hi - lo for lo, hi in bounds), default=1), 1)
+        # pack leaves (the final segments)
+        seg_len = np.bincount(seg, minlength=n_leaves)[:n_leaves]
+        seg_start = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+        leaf_cap = max(int(seg_len.max(initial=1)), 1)
         leaf_cap = ((leaf_cap + 7) // 8) * 8
         leaf_members = np.full((n_leaves, leaf_cap), -1, np.int32)
         n_pad = self.data.ids.shape[0]
         leaf_of = np.full(n_pad, -1, np.int32)  # -1: pivots + padding rows
-        leaf_count = np.zeros(n_leaves, np.int32)
-        for i, (lo, hi) in enumerate(bounds):
-            leaf_members[i, : hi - lo] = perm[lo:hi]
-            leaf_of[perm[lo:hi]] = i
-            leaf_count[i] = hi - lo
+        leaf_count = seg_len.astype(np.int32)
+        pos_in_seg = np.arange(perm.shape[0], dtype=np.int64) - seg_start[seg]
+        leaf_members[seg, pos_in_seg] = perm
+        leaf_of[perm] = seg
         self._tree = {
             "pivot_pos": jnp.asarray(pivot_pos),
             "medians": jnp.asarray(medians),
@@ -541,6 +561,27 @@ def _gather_qenc_rows(qenc_all: dict, rows):
 
 
 @partial(jax.jit, static_argnames=("space",))
-def _pivot_block(space, qenc_p, data):
-    xc = space.slice_data(data, 0, data.ids.shape[0])
-    return space.block(qenc_p, xc)
+def _pair_dist_block(space, qe, corpus, x_rows):
+    from ..ops.graph import score_rows
+
+    return score_rows(space, qe, corpus, x_rows[:, None])[:, 0]
+
+
+def _self_pair_dists(space, qenc_all, corpus, q_rows, x_rows):
+    """d(point q_rows[i], point x_rows[i]) for the level-synchronous
+    build: fixed-size blocks so every level reuses ONE compiled program
+    (the active pool shrinks by one pivot per segment per level)."""
+    m = q_rows.shape[0]
+    # sparse spaces densify a [blk, V] query table inside score_rows
+    blk = 2048 if "vocab_mark" in corpus else 65536
+    out = np.zeros(m, np.float32)
+    for lo in range(0, m, blk):
+        hi = min(lo + blk, m)
+        qp = np.zeros(blk, np.int64)
+        xp = np.zeros(blk, np.int64)
+        qp[: hi - lo] = q_rows[lo:hi]
+        xp[: hi - lo] = x_rows[lo:hi]
+        qe = _gather_qenc_rows(qenc_all, qp)
+        d = _pair_dist_block(space, qe, corpus, jnp.asarray(xp, jnp.int32))
+        out[lo:hi] = np.asarray(d[: hi - lo])
+    return out
