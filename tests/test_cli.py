@@ -27,7 +27,10 @@ def test_cli_knn_sweep(tmp_path, rng):
         ],
         capture_output=True,
         text=True,
-        timeout=300,
+        # the sweep itself takes ~210 s on this one-core machine; leave
+        # headroom for ambient load (the 300 s cap flaked under a loaded
+        # suite run)
+        timeout=600,
         env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
