@@ -98,6 +98,52 @@ def test_run_full_experiment(rng):
     assert "ci95" in agg["recall"]
 
 
+def test_range_sweep(rng):
+    """run_range computes the full metric set against the range gold
+    standard (reference experiments.h runs range sweeps like kNN ones)."""
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=8))
+    ex = Experiments(space, store, x[:16])
+    # exact scan: perfect quality
+    method = create_method("seq_search", space, Params())
+    method.create_index(store)
+    rows = ex.run_range(method, 3.5, [None])
+    assert rows[0]["recall"] == pytest.approx(1.0)
+    assert rows[0]["log_rel_pos_error"] == pytest.approx(0.0)
+    assert rows[0]["mean_result_size"] > 0 and rows[0]["qps"] > 0
+    assert rows[0]["radius"] == pytest.approx(3.5)
+    # pruned vptree: quality improves with laxer pruning
+    vpt = create_method("vptree", space, Params(bucketSize=16))
+    vpt.create_index(store)
+    vrows = vpt_rows = ex.run_range(
+        vpt, 3.5, [Params(alphaLeft=4.0, alphaRight=4.0), None]
+    )
+    assert vrows[1]["recall"] >= vrows[0]["recall"] - 1e-9
+    assert vrows[1]["recall"] == pytest.approx(1.0)  # exact pruning rule
+
+
+def test_run_full_experiment_with_ranges(rng):
+    x = rng.standard_normal((120, 8)).astype(np.float32)
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    space = create_space("l2", Params(dim=8))
+    cfg = ExperimentConfig(test_set_qty=2, query_qty=10, seed=3)
+    knn_aggs, range_aggs = run_full_experiment(
+        space,
+        store,
+        lambda sp: create_method("seq_search", sp, Params()),
+        cfg,
+        [None],
+        k=3,
+        range_radii=(3.0,),
+    )
+    assert knn_aggs[0]["recall"]["mean"] == pytest.approx(1.0)
+    assert range_aggs[3.0][0]["recall"]["mean"] == pytest.approx(1.0)
+    assert "ci95" in range_aggs[3.0][0]["qps"]
+
+
 def test_meta_analysis():
     m = MetaAnalysis()
     m.add({"recall": 0.9, "qps": 100.0})

@@ -185,15 +185,35 @@ def main(argv=None) -> int:
         print(format_table(rows, ["params"] + [c for c in rows[0] if c != "params"]), file=out)
 
     for r in radii:
-        method = method_factory(space)
-        method.create_index(store)
-        from .eval.experiments import _query_points
+        metas: dict[int, MetaAnalysis] = {}
+        for split in splits:
+            if args.queryFile:
+                sub, queries = store, _store_points(space, split[1])
+            else:
+                from .eval.experiments import _query_points, _subset_store
 
-        qpos = np.arange(min(len(store), args.maxNumQuery or 100))
-        queries = _query_points(store, qpos)
-        res = method.range(queries, r)
-        sizes = [len(ids) for ids, _ in res]
-        print(f"\n=== range r={r}: mean result size {np.mean(sizes):.2f} ===", file=out)
+                sub = _subset_store(store, split[0])
+                queries = _query_points(store, split[1])
+            method = method_factory(space)
+            method.create_index(sub)
+            ex = Experiments(space, sub, queries)
+            for i, row in enumerate(ex.run_range(method, r, qparams)):
+                metas.setdefault(i, MetaAnalysis()).add(row)
+        rows = []
+        for i, m in sorted(metas.items()):
+            agg = m.aggregate()
+            row = {"params": str(qparams[i].as_dict() if qparams[i] else {})}
+            cols = ["recall"] if args.recallOnly else [
+                "recall", "number_closer", "log_rel_pos_error",
+                "precision_of_approx", "qps", "improv_dist_comp",
+                "mean_result_size",
+            ]
+            for c in cols:
+                if c in agg:
+                    row[c] = agg[c]["mean"]
+            rows.append(row)
+        print(f"\n=== range r={r} (method={args.method}, space={args.spaceType}) ===", file=out)
+        print(format_table(rows, ["params"] + [c for c in rows[0] if c != "params"]), file=out)
 
     if args.outFile:
         out.close()

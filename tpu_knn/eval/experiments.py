@@ -78,7 +78,12 @@ class Experiments:
         self.queries = queries
         self.k = k
         self.gold = GoldStandard(space, index_store)
-        self.exact_d, self.exact_ids = self.gold.compute_knn(queries, k)
+        # kNN gold is computed lazily on the first run() (a range-only
+        # experiment should not pay for a kNN scan), range gold per
+        # radius on the first run_range(radius)
+        self.exact_d: np.ndarray | None = None
+        self.exact_ids: np.ndarray | None = None
+        self._range_gold: dict[float, tuple[np.ndarray, np.ndarray]] = {}
         self.n = len(index_store)
         self._labels = (
             index_store.label_of_id()
@@ -88,6 +93,8 @@ class Experiments:
 
     def run(self, method, query_param_sets: list[Params | dict | None], warmup: bool = True):
         """Returns one result row (dict) per query-time param set."""
+        if self.exact_d is None:
+            self.exact_d, self.exact_ids = self.gold.compute_knn(self.queries, self.k)
         rows = []
         nq = self.exact_d.shape[0]
         for qp in query_param_sets:
@@ -117,6 +124,76 @@ class Experiments:
             row["params"] = Params.of(qp).as_dict() if qp is not None else {}
             rows.append(row)
         return rows
+
+    def run_range(
+        self,
+        method,
+        radius: float,
+        query_param_sets: list[Params | dict | None],
+        warmup: bool = True,
+    ):
+        """Range-query parameter sweep: one result row per param set,
+        with the same quality metrics as kNN computed against the exact
+        range gold standard (reference experiments.h:58-319 runs range
+        and kNN sweeps through the same EvalResults machinery)."""
+        radius = float(radius)
+        if radius not in self._range_gold:
+            self._range_gold[radius] = _pad_result_lists(
+                self.gold.compute_range(self.queries, radius)
+            )
+        gd, gids = self._range_gold[radius]
+        rows = []
+        nq = gd.shape[0]
+        for qp in query_param_sets:
+            method.set_query_time_params(Params.of(qp) if qp is not None else None)
+            if warmup:
+                method.range(self.queries, radius)
+            dc0 = getattr(method, "dist_comps", 0)
+            t0 = time.perf_counter()
+            res = method.range(self.queries, radius)
+            dt = max(time.perf_counter() - t0, 1e-9)
+            dc = getattr(method, "dist_comps", 0) - dc0
+            ad, aids = _pad_result_lists(res)
+            # common width so per_query_metrics sees rectangular inputs
+            # (an approx method may return a boundary point the gold
+            # scan's fp tolerance excluded, or vice versa)
+            w = max(gd.shape[1], ad.shape[1])
+            m = per_query_metrics(
+                _pad_to(gd, w, np.inf), _pad_to(gids, w, -1),
+                _pad_to(ad, w, np.inf), _pad_to(aids, w, -1),
+            )
+            row = summarize(m)
+            row["qps"] = nq / dt
+            row["query_time_ms"] = dt * 1e3 / nq
+            row["improv_dist_comp"] = (nq * self.n) / max(dc, 1) if dc else float("inf")
+            row["dist_comps"] = int(dc)
+            row["mean_result_size"] = float(np.mean([len(ids) for ids, _ in res]))
+            row["radius"] = radius
+            row["params"] = Params.of(qp).as_dict() if qp is not None else {}
+            rows.append(row)
+        return rows
+
+
+def _pad_result_lists(results) -> tuple[np.ndarray, np.ndarray]:
+    """[(ids, dists)] per query -> rectangular (dists, ids) sorted by
+    distance, padded with inf/-1 (the format per_query_metrics expects)."""
+    q = len(results)
+    m = max([len(ids) for ids, _ in results] + [1])
+    d = np.full((q, m), np.inf, np.float32)
+    ids = np.full((q, m), -1, np.int64)
+    for i, (rid, rd) in enumerate(results):
+        rid, rd = np.asarray(rid), np.asarray(rd, np.float32)
+        o = np.argsort(rd, kind="stable")
+        ids[i, : o.size] = rid[o]
+        d[i, : o.size] = rd[o]
+    return d, ids
+
+
+def _pad_to(a: np.ndarray, width: int, fill) -> np.ndarray:
+    if a.shape[1] >= width:
+        return a
+    pad = np.full((a.shape[0], width - a.shape[1]), fill, a.dtype)
+    return np.concatenate([a, pad], axis=1)
 
 
 @dataclass
@@ -154,9 +231,14 @@ def run_full_experiment(
     config: ExperimentConfig,
     query_param_sets,
     k: int = 10,
+    range_radii: tuple[float, ...] = (),
 ):
-    """RunAll analog: split -> build -> sweep -> aggregate."""
+    """RunAll analog: split -> build -> sweep -> aggregate. Returns the
+    kNN aggregate rows; with ``range_radii`` it returns
+    ``(knn_aggs, {radius: aggs})`` — the reference's RunAll runs both
+    query families over the same splits/indices (experiments.h:58-319)."""
     metas: dict[int, MetaAnalysis] = {}
+    rmetas: dict[tuple[float, int], MetaAnalysis] = {}
     for idx_pos, q_pos in config.split(len(store)):
         sub = _subset_store(store, idx_pos)
         queries = _query_points(store, q_pos)
@@ -165,4 +247,13 @@ def run_full_experiment(
         ex = Experiments(space, sub, queries, k)
         for i, row in enumerate(ex.run(method, query_param_sets)):
             metas.setdefault(i, MetaAnalysis()).add(row)
-    return [m.aggregate() for _, m in sorted(metas.items())]
+        for r in range_radii:
+            for i, row in enumerate(ex.run_range(method, r, query_param_sets)):
+                rmetas.setdefault((float(r), i), MetaAnalysis()).add(row)
+    knn_aggs = [m.aggregate() for _, m in sorted(metas.items())]
+    if not range_radii:
+        return knn_aggs
+    range_aggs: dict[float, list[dict]] = {}
+    for (r, i), m in sorted(rmetas.items()):
+        range_aggs.setdefault(r, []).append(m.aggregate())
+    return knn_aggs, range_aggs

@@ -55,11 +55,12 @@ def _positions(exact_d: np.ndarray, approx_d: np.ndarray) -> np.ndarray:
     """pos_k per approx entry: #exact entries strictly closer (with
     tolerance), clipped to >= k (the p >= k loop invariant)."""
     q, ka = approx_d.shape
-    # strictly-closer counts via broadcasted compare (K_exact is small)
-    closer = (
-        exact_d[:, None, :]
-        < approx_d[:, :, None] - _REL_TOL * np.abs(approx_d[:, :, None]) - _ABS_TOL
-    )
+    # strictly-closer counts via broadcasted compare (K_exact is small);
+    # padded inf entries get an inf threshold directly (inf - inf = nan)
+    ap = approx_d[:, :, None]
+    with np.errstate(invalid="ignore"):
+        thr = np.where(np.isfinite(ap), ap - _REL_TOL * np.abs(ap) - _ABS_TOL, ap)
+    closer = exact_d[:, None, :] < thr
     pos = closer.sum(axis=2)
     pos = np.maximum(pos, np.arange(ka)[None, :])
     return pos
@@ -96,10 +97,14 @@ def per_query_metrics(
     ).astype(float)
 
     # number closer: exact entries strictly closer than the best approx
-    first_ap = np.where(ap_valid[:, 0], approx_d[:, 0], np.inf)
-    closer = (
-        exact_d < first_ap[:, None] - _REL_TOL * np.abs(first_ap[:, None]) - _ABS_TOL
-    ) & ex_valid
+    first_ap = np.where(ap_valid[:, 0], approx_d[:, 0], np.inf)[:, None]
+    with np.errstate(invalid="ignore"):
+        fthr = np.where(
+            np.isfinite(first_ap),
+            first_ap - _REL_TOL * np.abs(first_ap) - _ABS_TOL,
+            first_ap,
+        )
+    closer = (exact_d < fthr) & ex_valid
     number_closer = closer.sum(1).astype(float)
 
     pos = _positions(exact_d, approx_d)
@@ -108,7 +113,11 @@ def per_query_metrics(
         pa_terms = np.where(ap_valid, (kk + 1) / (pos + 1), 0.0)
         le_terms = np.where(ap_valid, np.log((pos + 1) / (kk + 1)), 0.0)
     n_ap = np.maximum(ap_valid.sum(1), 1)
-    precision_of_approx = np.where(ap_valid.any(1), pa_terms.sum(1) / n_ap, 0.0)
+    # empty-vs-empty is a perfect answer (range queries routinely have
+    # empty gold sets); only an empty approx against non-empty gold is
+    # a quality-0 result
+    empty_fill = np.where(ex_valid.any(1), 0.0, 1.0)
+    precision_of_approx = np.where(ap_valid.any(1), pa_terms.sum(1) / n_ap, empty_fill)
     log_rel_pos_error = np.where(
         ap_valid.any(1), le_terms.sum(1) / n_ap, np.log(ex_size)
     )
