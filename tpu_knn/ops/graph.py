@@ -32,6 +32,20 @@ from ..ops.topk import INF
 
 NEG1 = jnp.int32(-1)
 
+#: beam-search iteration-body strategy defaults (overridable per call;
+#: module-level so experiment harnesses can flip them globally — change
+#: requires jax.clear_caches() to retrace live jits)
+#: dedup: how candidate duplicates are removed each iteration
+#:   "broadcast": two O(W^2) membership broadcasts before scoring
+#:   "postmerge": sort-adjacency run-dedup after the merge (O(W) compare
+#:                + one extra narrow sort; duplicates get scored, which
+#:                costs nothing at fixed frontier width)
+BEAM_DEDUP = "broadcast"
+#: merge: how the candidate frontier enters the beam
+#:   "sort": one 3-operand full-width lax.sort
+#:   "topk": lax.top_k on distances + 2 take_along_axis gathers
+BEAM_MERGE = "sort"
+
 
 def _qenc_axes(qenc: dict, batch: int):
     """in_axes tree for vmapping a per-query slice of an encoded query dict."""
@@ -238,6 +252,8 @@ def beam_search(
     expand: int = 4,
     max_iters: int | None = None,
     nbr_store=None,  # ([S, M, D] replicated neighbor rows, dequant scale)
+    dedup: str | None = None,
+    merge: str | None = None,
 ):
     """Batched best-first beam search on one graph level.
 
@@ -256,6 +272,8 @@ def beam_search(
     _hnsw_search). Only valid for spaces whose per-row term is
     recomputable from the row (or absent) — the caller gates this.
     """
+    dedup = BEAM_DEDUP if dedup is None else dedup
+    merge = BEAM_MERGE if merge is None else merge
     b = entry.shape[0]
     m = adj.shape[1]
     k_cand = expand * m
@@ -302,11 +320,14 @@ def beam_search(
         nbrs = jnp.where(pslots[:, :, None] < 0, NEG1, nbrs).reshape(b, k_cand)
 
         # dedup: against beam, and within the candidate block (keep first)
-        in_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
-        eq = nbrs[:, :, None] == nbrs[:, None, :]
-        earlier = jnp.tril(jnp.ones((k_cand, k_cand), bool), k=-1)[None]
-        dup = jnp.any(eq & earlier, axis=2)
-        cand = jnp.where(in_beam | dup, NEG1, nbrs)
+        if dedup == "broadcast":
+            in_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+            eq = nbrs[:, :, None] == nbrs[:, None, :]
+            earlier = jnp.tril(jnp.ones((k_cand, k_cand), bool), k=-1)[None]
+            dup = jnp.any(eq & earlier, axis=2)
+            cand = jnp.where(in_beam | dup, NEG1, nbrs)
+        else:  # postmerge: duplicates survive scoring, removed after sort
+            cand = nbrs
 
         if nbr_store is not None:
             # one [M, D] granule per parent; rows are position-aligned
@@ -323,12 +344,33 @@ def beam_search(
             d = score_rows(space, qenc, corpus, cand)  # [B, K]
         ndist = ndist + jnp.sum(cand >= 0)
 
-        # merge candidates into the beam: sort (dist, id, expanded) jointly
+        # merge candidates into the beam
         all_d = jnp.concatenate([beam_d, d], axis=1)
         all_i = jnp.concatenate([beam_i, cand], axis=1)
         all_e = jnp.concatenate([expanded2, jnp.zeros((b, k_cand), bool)], axis=1)
-        sd, si, se = jax.lax.sort((all_d, all_i, all_e.astype(jnp.int32)), num_keys=1)
-        sd, si, se = sd[:, :ef_pad], si[:, :ef_pad], se[:, :ef_pad].astype(bool)
+        if dedup == "postmerge":
+            # (d, id)-keyed sort puts duplicate ids adjacent (same point
+            # always scores identically); the stable sort keeps the beam
+            # copy — which carries the expanded flag — ahead of candidate
+            # copies. Run-dedup then one compaction selection.
+            all_d, all_i, se = jax.lax.sort(
+                (all_d, all_i, all_e.astype(jnp.int32)), num_keys=2
+            )
+            run = jnp.concatenate(
+                [jnp.zeros((b, 1), bool), (all_i[:, 1:] == all_i[:, :-1]) & (all_i[:, 1:] >= 0)],
+                axis=1,
+            )
+            all_d = jnp.where(run, INF, all_d)
+            all_i = jnp.where(run, NEG1, all_i)
+            all_e = jnp.where(run, 0, se).astype(bool)
+        if merge == "topk":
+            neg, idx = jax.lax.top_k(-all_d, ef_pad)
+            sd = -neg
+            si = jnp.take_along_axis(all_i, idx, 1)
+            se = jnp.take_along_axis(all_e.astype(jnp.int32), idx, 1).astype(bool)
+        else:
+            sd, si, se = jax.lax.sort((all_d, all_i, all_e.astype(jnp.int32)), num_keys=1)
+            sd, si, se = sd[:, :ef_pad], si[:, :ef_pad], se[:, :ef_pad].astype(bool)
         # mask out slots beyond the logical beam width
         sd = jnp.where(lane < ef, sd, INF)
         si = jnp.where(lane < ef, si, NEG1)
