@@ -30,6 +30,12 @@ from ..core.registry import register_method
 from ..ops import topk as T
 from .base import Method
 
+#: Score dot-factored sparse scans through a densified query table
+#: (gather per corpus element) instead of densifying corpus chunks over
+#: the vocabulary (deep matmul whose FLOPs are ~1/density wasted).
+#: Module-level so the TPU experiment harness can A/B it.
+SPARSE_SCAN_QDENSE = True
+
 
 @partial(jax.jit, static_argnames=("space", "k", "chunk", "precision"))
 def _knn_device(space, qenc, data, k: int, chunk: int, precision: str):
@@ -383,10 +389,27 @@ class SeqSearch(Method):
         pm.check_unused()
         super().set_query_time_params(params)
 
+    def _scan_queries(self, points) -> dict:
+        """Encode queries for the scan; dot-factored sparse spaces get
+        the densified query table attached up front so every corpus
+        chunk scores via the dot_qdense/intersect_count_qdense gather
+        (HBM traffic ~ corpus nnz * Q) instead of re-densifying corpus
+        chunks over the vocabulary (traffic ~ V * chunks, plus a
+        [Q, V]-deep matmul whose FLOPs are ~1/density wasted)."""
+        qenc = self.space.encode_queries(points)
+        if not SPARSE_SCAN_QDENSE or not getattr(self.space, "dense_dot_ok", False):
+            return qenc
+        vm = None
+        if self.data is not None and getattr(self.data, "extra", None) is not None:
+            vm = self.data.extra.get("vocab_mark")
+        if vm is None:
+            return qenc
+        return self.space.densify_queries(qenc, {"vocab_mark": vm})
+
     def knn(self, points, k: int):
         if self.data is None:
             raise IndexNotBuiltError("seq_search: index not built")
-        qenc = self.space.encode_queries(points)
+        qenc = self._scan_queries(points)
         n_pad = self.data.ids.shape[0]
         kk = min(k, n_pad)
         # two-pass group-min path pays off once the corpus dwarfs the
@@ -428,7 +451,7 @@ class SeqSearch(Method):
         seqsearch.cc:109-141 RangeQuery scan)."""
         if self.data is None:
             raise IndexNotBuiltError("seq_search: index not built")
-        qenc = self.space.encode_queries(points)
+        qenc = self._scan_queries(points)
         counts = np.asarray(
             _range_counts_device(
                 self.space, qenc, self.data, float(radius), self._chunk, self.precision

@@ -131,6 +131,20 @@ def dot_qdense(qd, xcol, xval):
     )
 
 
+def intersect_count_qdense(qd, xcol):
+    """|A ∩ B| against a densified query *presence* table: f32[Q, C].
+
+    qd f32[Q, V] holds 1.0 at the query's column ids; corpus padding
+    (PAD_X) clips in-range so it is masked explicitly (unlike dot_qdense,
+    where the zero xval kills it)."""
+    v = qd.shape[1]
+    c, nnz = xcol.shape
+    idx = jnp.clip(xcol.reshape(-1) - 1, 0, v - 1)
+    hits = jnp.take(qd, idx, axis=1).reshape(qd.shape[0], c, nnz)
+    real = ((xcol >= 1) & (xcol <= v)).astype(jnp.float32)[None, :, :]
+    return jnp.sum(hits * real, axis=2)
+
+
 def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
     """Pairwise dots of per-row candidate sets: [B, C, C2].
 

@@ -595,13 +595,17 @@ class SparseJaccardSpace(SparseSpaceBase):
         return d + pad[:, None, :]
 
     def _block_impl(self, qenc, xc, precision):
+        qd = qenc.get("q_dense")
         vm = xc.get("vocab_mark")
-        if vm is not None and xc["cols"].ndim == 2:
+        if qd is not None and xc["cols"].ndim == 2:
+            # densified-presence gather: HBM traffic scales with corpus
+            # nnz, not the dense vocabulary width (see SparseDotBase._dot)
+            inter = S.intersect_count_qdense(qd, xc["cols"])
+        elif vm is not None and xc["cols"].ndim == 2:
             inter = S.intersect_count_blocked_dense(
                 qenc["qcol"], xc["cols"], vm.shape[0], precision
             )
-            union = qenc["qlen"][:, None] + xc["len"][None, :] - inter
-            return jnp.where(
-                union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0
-            )
-        return S.jaccard_blocked(qenc["qcol"], xc["cols"], qenc["qlen"], xc["len"])
+        else:
+            return S.jaccard_blocked(qenc["qcol"], xc["cols"], qenc["qlen"], xc["len"])
+        union = qenc["qlen"][:, None] + xc["len"][None, :] - inter
+        return jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0)
