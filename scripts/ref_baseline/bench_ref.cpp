@@ -27,6 +27,7 @@
 #include "object.h"
 #include "params.h"
 #include "space.h"
+#include "space/space_sparse_vector.h"
 #include "space/space_vector.h"
 #include "spacefactory.h"
 
@@ -86,30 +87,58 @@ int main(int argc, char** argv) {
   Space<float>* space =
       SpaceFactoryRegistry<float>::Instance().CreateSpace(space_name,
                                                           AnyParams());
-  VectorSpace<float>* vs = dynamic_cast<VectorSpace<float>*>(space);
-  if (!vs) {
-    std::fprintf(stderr, "space %s is not a VectorSpace\n",
-                 space_name.c_str());
-    return 2;
-  }
+  const bool sparse = space_name.find("sparse") != std::string::npos;
 
   std::ifstream f(path, std::ios::binary);
   if (!f) {
     std::fprintf(stderr, "cannot open %s\n", path);
     return 2;
   }
-  std::vector<float> row(d);
   ObjectVector data, queries;
   data.reserve(n);
-  for (long i = 0; i < n; ++i) {
-    f.read(reinterpret_cast<char*>(row.data()), sizeof(float) * d);
-    data.push_back(vs->CreateObjFromVect((IdType)i, -1,
-                                         std::vector<float>(row.begin(), row.end())));
-  }
-  for (int i = 0; i < nq; ++i) {
-    f.read(reinterpret_cast<char*>(row.data()), sizeof(float) * d);
-    queries.push_back(vs->CreateObjFromVect((IdType)(n + i), -1,
-                                            std::vector<float>(row.begin(), row.end())));
+  if (sparse) {
+    // sparse binary format: per row, int32 nnz then nnz x (int32 id,
+    // float32 val), ids ascending (the reference's element contract)
+    SpaceSparseVector<float>* ss =
+        dynamic_cast<SpaceSparseVector<float>*>(space);
+    if (!ss) {
+      std::fprintf(stderr, "space %s is not a SpaceSparseVector\n",
+                   space_name.c_str());
+      return 2;
+    }
+    auto read_row = [&](IdType id) {
+      int32_t nnz = 0;
+      f.read(reinterpret_cast<char*>(&nnz), sizeof(nnz));
+      std::vector<SparseVectElem<float>> elems(nnz);
+      for (int32_t t = 0; t < nnz; ++t) {
+        int32_t eid;
+        float v;
+        f.read(reinterpret_cast<char*>(&eid), sizeof(eid));
+        f.read(reinterpret_cast<char*>(&v), sizeof(v));
+        elems[t] = SparseVectElem<float>((uint32_t)eid, v);
+      }
+      return ss->CreateObjFromVect(id, -1, elems);
+    };
+    for (long i = 0; i < n; ++i) data.push_back(read_row((IdType)i));
+    for (int i = 0; i < nq; ++i) queries.push_back(read_row((IdType)(n + i)));
+  } else {
+    VectorSpace<float>* vs = dynamic_cast<VectorSpace<float>*>(space);
+    if (!vs) {
+      std::fprintf(stderr, "space %s is not a VectorSpace\n",
+                   space_name.c_str());
+      return 2;
+    }
+    std::vector<float> row(d);
+    for (long i = 0; i < n; ++i) {
+      f.read(reinterpret_cast<char*>(row.data()), sizeof(float) * d);
+      data.push_back(vs->CreateObjFromVect((IdType)i, -1,
+                                           std::vector<float>(row.begin(), row.end())));
+    }
+    for (int i = 0; i < nq; ++i) {
+      f.read(reinterpret_cast<char*>(row.data()), sizeof(float) * d);
+      queries.push_back(vs->CreateObjFromVect((IdType)(n + i), -1,
+                                              std::vector<float>(row.begin(), row.end())));
+    }
   }
   if (!f) {
     std::fprintf(stderr, "short read from %s\n", path);
