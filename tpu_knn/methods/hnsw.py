@@ -166,6 +166,7 @@ def make_wave_step(
     expand: int,
     exact_heur: bool,
     exact_space=None,
+    exact_pairs: bool = False,
 ):
     """Build the (unjitted) batched insertion wave step.
 
@@ -232,17 +233,25 @@ def make_wave_step(
                 # hybrid refinement (sketch-proxy builds): the beam found
                 # the candidates with proxy scores; their base distances
                 # are recomputed EXACTLY in the host space so neighbor
-                # selection ranks true neighbors first. Pairwise scores
-                # stay on the proxy (exact pairs are the O(C^2 nnz)
-                # lookup storm that made round-1 sparse builds ~200x
-                # slower); the proxy's _sketch_post puts them on the
-                # host distance scale so the heuristic's pair-vs-base
-                # comparisons are consistent.
+                # selection ranks true neighbors first. The proxy's
+                # _sketch_post puts proxy pair values on the host
+                # distance scale so pair-vs-base comparisons remain
+                # consistent when exact_pairs is off.
                 eqe = _gather_qenc(eqenc_all, wave_ids, n_total)
                 eqe = G.densify_queries(exact_space, eqe, ecorpus)
                 cand_d = G.score_rows(exact_space, eqe, ecorpus, cand_i)
                 cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
-            pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
+            if exact_pairs and exact_space is not None and ecorpus is not None:
+                # exact pair distances for the selection heuristic: on
+                # near-tied data (true gaps below JL noise) proxy pair
+                # scores make the prune decisions random — measured 4k
+                # bag-of-words recall 0.92 -> matches the reference's
+                # 0.98 (ef=100) with exact construction scoring
+                pair_d = _score_pairs(
+                    exact_space, eqenc_all, n_total, ecorpus, cand_i, cand_i
+                )
+            else:
+                pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
             keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
             sel = G.pack_selected(cand_i, keep, m)
             connect = (wl >= l) & (wl >= 0)
@@ -450,8 +459,12 @@ class Hnsw(Method):
         # beam (fast, recall-limited by sketch noise)
         self.sketch_query = pm.get("sketchQuery", 0, int)
         # hybrid construction: exact base distances for candidate
-        # selection while beams/pair scores stay on the proxy
+        # selection while beams stay on the proxy
         self.exact_base = pm.get("exactBase", 1, int)
+        # exact pair distances inside the forward selection heuristic
+        # (proxy pair scores are noise on near-tied data; see
+        # make_wave_step). Costs one blocked pair_dots_qdense per wave.
+        self.exact_pairs = pm.get("exactPairs", 1, int)
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
@@ -670,6 +683,7 @@ class Hnsw(Method):
                 expand=self.construction_expand,
                 exact_heur=self.delaunay_type != 0,
                 exact_space=self.space if self._exact_qenc_all is not None else None,
+                exact_pairs=bool(self.exact_pairs),
             )
         )
 

@@ -26,6 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128
 
+#: kernel tile orientation: "q" = [tq, tc] tile + cross-lane group min
+#: (round-1 layout), "x" = transposed [tc, tq] tile + sublane group min
+#: (fewer VPU epilogue ops). Module-level for the TPU A/B harness.
+KERNEL_LAYOUT = "x"
+
 
 _DIMS = (((1,), (1,)), ((), ()))
 
@@ -85,6 +90,44 @@ def _kernel(
     out_ref[:] = mins.T
 
 
+def _kernel_t(
+    q_ref, x_ref, qt_ref, xt_ref, out_ref, *, scale: float, tq: int, tc: int, prec: str
+):
+    """Transposed-tile variant: computes the [tc, tq] distance tile (x as
+    the dot LHS) so the 128-row group axis is SUBLANE-major. The group
+    min is then a tree of elementwise vreg mins + a 3-step sublane
+    reduction instead of 7 cross-lane rotate-mins per vreg (~6x fewer
+    VPU ops — the epilogue, not the MXU, binds the f32/bf16 kernel), and
+    the [tc/128, tq] output needs no transpose."""
+    if q_ref.dtype == jnp.int8:
+        g = jax.lax.dot_general(
+            x_ref[:],
+            q_ref[:],
+            dimension_numbers=_DIMS,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    elif prec == "bfloat16":
+        g = _bf16_dot(x_ref[:], q_ref[:])
+    elif prec == "high":
+        q = q_ref[:]
+        x = x_ref[:]
+        q_hi = q.astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        q_lo = q - q_hi.astype(jnp.float32)
+        x_lo = x - x_hi.astype(jnp.float32)
+        g = _bf16_dot(x_hi, q_hi) + (_bf16_dot(x_lo, q_hi) + _bf16_dot(x_hi, q_lo))
+    else:
+        g = jax.lax.dot_general(
+            x_ref[:],
+            q_ref[:],
+            dimension_numbers=_DIMS,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    d = scale * g + xt_ref[0, :][:, None] + qt_ref[0, :][None, :]  # [tc, tq]
+    out_ref[:] = jnp.min(d.reshape(tc // GROUP, GROUP, tq), axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "tq", "tc", "interpret", "precision")
 )
@@ -109,7 +152,8 @@ def fused_groupmin(
     # the small q tiles cycle — the reverse order re-reads the whole
     # corpus qn/tq times (measured 5ms/sweep extra at 1M x 2048)
     grid = (n // tc, qn // tq)
-    kern = functools.partial(_kernel, scale=scale, tq=tq, tc=tc, prec=precision)
+    kfn = _kernel_t if KERNEL_LAYOUT == "x" else _kernel
+    kern = functools.partial(kfn, scale=scale, tq=tq, tc=tc, prec=precision)
     flops = 2 * qn * n * d
     out = pl.pallas_call(
         kern,
