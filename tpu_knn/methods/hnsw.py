@@ -47,7 +47,7 @@ from ..utils.logging import log
 from ..utils.rng import np_rng
 from .base import Method
 
-NEG1 = jnp.int32(-1)
+NEG1 = np.int32(-1)  # numpy, not jnp — no backend init at import (ops/sparse.py PAD_Q note)
 
 
 def _corpus_dict(space, data) -> dict:

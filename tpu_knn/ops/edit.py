@@ -26,8 +26,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.int32(1 << 20)
+# numpy, not jnp: module-level jnp constants initialize the backend at
+# import time, before platform pinning (see ops/sparse.py PAD_Q note).
+BIG = np.int32(1 << 20)
 
 
 def levenshtein_blocked(

@@ -27,10 +27,13 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.topk import INF
 
-NEG1 = jnp.int32(-1)
+# numpy, not jnp: module-level jnp constants initialize the backend at
+# import time, before platform pinning (see ops/sparse.py PAD_Q note).
+NEG1 = np.int32(-1)
 
 #: beam-search iteration-body strategy defaults (overridable per call;
 #: module-level so experiment harnesses can flip them globally — change

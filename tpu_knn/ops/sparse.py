@@ -29,10 +29,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-#: Column padding sentinels (see module docstring).
-PAD_Q = jnp.int32(2**31 - 1)
-PAD_X = jnp.int32(2**31 - 2)
+#: Column padding sentinels (see module docstring). numpy scalars, NOT
+#: jnp: a module-level jnp constant initializes the JAX backend at
+#: import time, before callers can pin the platform (on this image the
+#: axon site hook then dials the TPU tunnel from every process).
+PAD_Q = np.int32(2**31 - 1)
+PAD_X = np.int32(2**31 - 2)
 
 
 def _bsearch_first_geq(sorted_ids: jax.Array, targets: jax.Array) -> jax.Array:

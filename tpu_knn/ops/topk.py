@@ -14,9 +14,12 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-#: Sentinel used for masked/padded candidates.
-INF = jnp.float32(jnp.inf)
+#: Sentinel used for masked/padded candidates. numpy, not jnp: a
+#: module-level jnp constant would initialize the backend at import
+#: time, before platform pinning (see ops/sparse.py PAD_Q note).
+INF = np.float32(np.inf)
 
 
 def smallest_k(dists: jax.Array, k: int, idx: jax.Array | None = None):
