@@ -200,3 +200,63 @@ def test_public_api_mesh_routing(tmp_path, setup):
 
     with pytest.raises(InvalidArgumentError, match="distributed"):
         Index("l2", Params(dim=32), method="vptree", mesh=8)
+
+
+def test_sharded_sparse_shared_proxy(rng, monkeypatch):
+    """Sharded sparse builds run on the shared-projection sketch proxy
+    (round-2: previously shards fell back to the host-space wave path,
+    which faults the TPU worker at scale — the proxy path is the one
+    proven on the real chip). Asserts (a) two shards configured by the
+    builder produce IDENTICAL JL projections, (b) the stacked parallel
+    build really runs on the proxy space with exact refinement, and
+    (c) recall vs the exact oracle on clustered bag-of-words data."""
+    from tpu_knn.eval.datasets import sparse_like
+    from tpu_knn.methods.hnsw import Hnsw
+    import tpu_knn.parallel.hnsw_sharded as HS
+
+    pts = sparse_like(520, vocab=2000, nnz=24, n_clusters=20, seed=3)
+    corpus, q = pts[:512], pts[512:]
+    space = create_space("cosinesimil_sparse")
+    store = DataStore(DataKind.SPARSE)
+    store.add_sparse_batch(corpus)
+
+    # (a) shard-level knobs -> one shared R despite different shard seeds
+    half_a, half_b = DataStore(DataKind.SPARSE), DataStore(DataKind.SPARSE)
+    half_a.add_sparse_batch(corpus[:256])
+    half_b.add_sparse_batch(corpus[256:], ids=list(range(257, 513)))
+    mesh = make_mesh(8)
+    sh = ShardedHnsw(space, mesh, Params(M=8, efConstruction=40, waveSize=32))
+    ha = Hnsw(space, Params(seed=1))
+    hb = Hnsw(space, Params(seed=2))
+    vf = sh._global_vocab_floor(store)
+    for h, st in ((ha, half_a), (hb, half_b)):
+        sh._configure_shard(h, vf)
+        h.create_index(st)
+    assert ha._proxy is not None and hb._proxy is not None
+    np.testing.assert_array_equal(
+        np.asarray(ha._proxy[2]), np.asarray(hb._proxy[2])
+    )
+    assert ha._proxy[1].vecs.shape[1] == hb._proxy[1].vecs.shape[1]
+
+    # (b) the stacked parallel build runs on the proxy with exact refine
+    captured = {}
+    orig = HS.make_wave_step
+
+    def spy(build_space, *a, **kw):
+        captured["space"] = build_space
+        captured["exact_space"] = kw.get("exact_space")
+        return orig(build_space, *a, **kw)
+
+    monkeypatch.setattr(HS, "make_wave_step", spy)
+    sh.build(store)
+    assert getattr(captured["space"], "name", "") == "sketch_proxy"
+    assert captured["exact_space"] is space
+
+    # (c) recall vs the exact oracle
+    ex = Index("cosinesimil_sparse", method="seq_search", data_type=DataKind.SPARSE)
+    ex.add_sparse_batch(corpus)
+    _, gi = ex.knn_query_batch(q, 5)
+    sh.set_query_time_params(Params(efSearch=100))
+    d, i = sh.knn(q, 5)
+    rec = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(np.asarray(i), gi)])
+    assert rec >= 0.7, rec

@@ -472,6 +472,12 @@ class Hnsw(Method):
         pm.check_unused()
         self._nbr_store = None
         self._proxy = None  # (SketchProxySpace, DenseDeviceData, R) or None
+        # host-side knobs set by the corpus-sharded builder (not params):
+        # a global padded-vocabulary floor for sparse encodes and a shared
+        # projection seed, so every shard's sketch proxy uses the SAME
+        # R matrix (parallel/hnsw_sharded.py)
+        self.vocab_floor = 0
+        self.sketch_seed = None
         # query-time defaults (reference: ef/efSearch default 20, hnsw.cc:483)
         self.ef_search = 20
         self._entry = 0  # global entry point (internal id; updated on delete)
@@ -565,7 +571,12 @@ class Hnsw(Method):
         the host space re-ranks the final beam exactly. sketchDim=0
         disables the proxy (the raw sparse wave program is ~200x slower
         on TPU and faulted the worker at 100k in round 1)."""
-        self.data = self.space.encode_dataset(store, row_multiple=8)
+        if self.vocab_floor:
+            self.data = self.space.encode_dataset(
+                store, row_multiple=8, vocab_floor=self.vocab_floor
+            )
+        else:
+            self.data = self.space.encode_dataset(store, row_multiple=8)
         self._proxy = None
         n_pad = self.data.ids.shape[0]
         if n == 0:
@@ -576,7 +587,8 @@ class Hnsw(Method):
         self.data = self._reorder_data(self.data, self.order, n)
         mk = getattr(self.space, "sketch_proxy", None)
         if mk is not None and self.sketch_dim > 0:
-            self._proxy = mk(self.data, self.sketch_dim, self.seed)
+            sseed = self.seed if self.sketch_seed is None else self.sketch_seed
+            self._proxy = mk(self.data, self.sketch_dim, sseed)
         self._exact_qenc_all = None
         if self._proxy is not None:
             pspace, pdata, _ = self._proxy

@@ -182,14 +182,32 @@ class ShardedHnsw:
         else:
             self._build_sequential(store, bounds)
 
+    def _global_vocab_floor(self, store: DataStore) -> int:
+        """Max term id over the WHOLE corpus, so per-shard sparse encodes
+        all pad to one vocabulary width (ids are sorted per point, so the
+        last id is the per-point max)."""
+        if store.kind is not DataKind.SPARSE:
+            return 0
+        return max(
+            (int(p.ids[-1]) for p in store.sparse_points() if len(p.ids)),
+            default=0,
+        )
+
+    def _configure_shard(self, h: Hnsw, vocab_floor: int) -> None:
+        """Shared-projection knobs: every shard encodes against the same
+        padded vocabulary and seeds its JL sketch proxy identically, so
+        all shards share one R matrix (methods/hnsw.py _encode_store) —
+        sketches from different shards live in the same proxy space and
+        the stacked build program sees uniform widths."""
+        h.vocab_floor = vocab_floor
+        h.sketch_seed = int(self.params.get("seed", 0) or 0)
+
     def _build_sequential(self, store: DataStore, bounds) -> None:
+        vf = self._global_vocab_floor(store)
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
-            # per-shard sketch proxies would need a shared R matrix and a
-            # global vocabulary width; until the sharded path grows those,
-            # shards build on the host space directly (round-1 behavior)
-            h.sketch_dim = 0
+            self._configure_shard(h, vf)
             h.create_index(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)
@@ -205,13 +223,11 @@ class ShardedHnsw:
         subgraph, no collectives needed until query time. The sequential
         path runs the same wave step one shard at a time, so the resulting
         graphs are identical distribution-wise (per-shard seeds match)."""
+        vf = self._global_vocab_floor(store)
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
-            # per-shard sketch proxies would need a shared R matrix and a
-            # global vocabulary width; until the sharded path grows those,
-            # shards build on the host space directly (round-1 behavior)
-            h.sketch_dim = 0
+            self._configure_shard(h, vf)
             h._prepare(_subset_store(store, lo, hi))
             shards.append(h)
         self._stack(shards)  # stacks corpus/ids + the (empty) level0/upper
@@ -229,27 +245,41 @@ class ShardedHnsw:
         # stacked per-node query encodings, row-padded to a common count;
         # non-per-point entries (static/config leaves) stay replicated
         n_q = per
-        ref = shards[0]._qenc_all
-        per_point = {
-            k
-            for k, v in ref.items()
-            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == shards[0]._n_total
-        }
-        qenc_st = {}
-        for k, v0 in ref.items():
-            if v0 is None:
-                continue
-            if k in per_point:
-                tgt = (n_q,) + tuple(
-                    max(h._qenc_all[k].shape[ax] for h in shards)
-                    for ax in range(1, v0.ndim)
-                )
-                fill = _stack_fill(k)
-                qenc_st[k] = jnp.stack(
-                    [_pad_to_shape(h._qenc_all[k], tgt, fill) for h in shards]
-                )
-            else:
-                qenc_st[k] = v0
+        qenc_st, per_point = self._stack_qenc(
+            [h._qenc_all for h in shards], shards, n_q
+        )
+
+        # sparse shards carry a shared-R sketch proxy (methods/hnsw.py
+        # _encode_store): the stacked build then runs on the dense proxy
+        # corpus — the same proven MXU wave path as single-chip sparse
+        # builds — with the host-space corpus riding along for the exact
+        # base/pair refinement (exactBase/exactPairs).
+        use_proxy = shards[0]._proxy is not None
+        st = self._stacked
+        if use_proxy:
+            n_pad = max(h.data.ids.shape[0] for h in shards)
+            build_corpus = self._stack_corpus(
+                [
+                    self._corpus_with_mask(
+                        h._graph_space.corpus_dict(h._graph_data),
+                        h._graph_data.extra["pad"],
+                    )
+                    for h in shards
+                ],
+                n_pad,
+            )
+            build_space = shards[0]._graph_space
+        else:
+            build_corpus = st["corpus"]
+            build_space = self.space
+        exact = use_proxy and shards[0]._exact_qenc_all is not None
+        if exact:
+            eqenc_st, e_per_point = self._stack_qenc(
+                [h._exact_qenc_all for h in shards], shards, n_q
+            )
+            ecorpus_st = st["corpus"]  # host-space stack already built
+        else:
+            eqenc_st, e_per_point, ecorpus_st = {}, set(), {}
 
         # per-shard level arrays over the padded wave range (-1 pads are
         # no-ops: the wave step never connects wl<0 rows)
@@ -259,7 +289,7 @@ class ShardedHnsw:
         wl_st = jnp.asarray(wl_st)
 
         step = make_wave_step(
-            self.space,
+            build_space,
             n_q,
             w,
             max_level,
@@ -270,19 +300,25 @@ class ShardedHnsw:
             mates=min(cfg.wave_mates, w),
             expand=cfg.construction_expand,
             exact_heur=cfg.delaunay_type != 0,
+            exact_space=self.space if exact else None,
+            exact_pairs=exact and bool(cfg.exact_pairs),
         )
 
-        st = self._stacked
         n_upper = len(st["upper"])
         axis = self.axis
 
-        def local(level0_l, upper_l, wl_l, corpus_l, qenc_l, start, limit):
+        def local(level0_l, upper_l, wl_l, corpus_l, qenc_l, ecorpus_l, eqenc_l,
+                  start, limit):
             corpus = {k: v[0] for k, v in corpus_l.items()}
             qe = {k: (v[0] if k in per_point else v) for k, v in qenc_l.items()}
+            ec = {k: v[0] for k, v in ecorpus_l.items()} or None
+            eq = {
+                k: (v[0] if k in e_per_point else v) for k, v in eqenc_l.items()
+            } or None
             wl = jax.lax.dynamic_slice_in_dim(wl_l[0], start, w)
             l0, up = step(
                 level0_l[0], [u[0] for u in upper_l], start, wl,
-                jnp.int32(0), limit, corpus, qe,
+                jnp.int32(0), limit, corpus, qe, ec, eq,
             )
             return l0[None], tuple(u[None] for u in up)
 
@@ -290,8 +326,10 @@ class ShardedHnsw:
             P(axis),
             tuple(P(axis) for _ in range(n_upper)),
             P(axis),
-            jax.tree_util.tree_map(lambda _: P(axis), st["corpus"]),
+            jax.tree_util.tree_map(lambda _: P(axis), build_corpus),
             {k: (P(axis) if k in per_point else P()) for k in qenc_st},
+            jax.tree_util.tree_map(lambda _: P(axis), ecorpus_st),
+            {k: (P(axis) if k in e_per_point else P()) for k in eqenc_st},
             P(),
             P(),
         )
@@ -309,44 +347,67 @@ class ShardedHnsw:
         for wi in range(num_waves):
             start = jnp.int32(wi * w)
             level0, upper = f(
-                level0, upper, wl_st, st["corpus"], qenc_st, start, start
+                level0, upper, wl_st, build_corpus, qenc_st, ecorpus_st,
+                eqenc_st, start, start
             )
         for _ in range(cfg.post):
             for wi in range(num_waves - 1, -1, -1):
                 start = jnp.int32(wi * w)
                 level0, upper = f(
-                    level0, upper, wl_st, st["corpus"], qenc_st, start, jnp.int32(n_q)
+                    level0, upper, wl_st, build_corpus, qenc_st, ecorpus_st,
+                    eqenc_st, start, jnp.int32(n_q)
                 )
         st["level0"], st["upper"] = level0, tuple(upper)
 
-    def _stack(self, shards: list[Hnsw]) -> None:
-        n_pad = max(h.data.ids.shape[0] for h in shards)
-        max_lv = max(len(h._upper) for h in shards)
-        m = shards[0].maxM
-        u_rows = [
-            max((h._upper[l].shape[0] if l < len(h._upper) else 1) for h in shards)
-            for l in range(max_lv)
-        ]
-        per_shard_c = []
-        for h in shards:
-            c = self.space.corpus_dict(h.data)
-            # per-shard counts differ, so the static-count row masking of
-            # ops/graph.py can't apply across the stack: every shard gets
-            # an explicit row_mask instead
-            c.pop("count", None)
-            c.setdefault("row_mask", h.data.extra["pad"])
-            per_shard_c.append({k: v for k, v in c.items() if v is not None})
-        # only keys every shard produced survive (e.g. one shard's
-        # vocabulary may exceed the dense gate and omit vocab_mark)
+    @staticmethod
+    def _stack_qenc(dicts: list[dict], shards: list[Hnsw], n_q: int):
+        """Stack per-shard query-encoding dicts on a leading shard axis.
+        Per-point arrays (leading axis == the shard's point count) pad
+        rows to ``n_q`` and other axes to the per-key max; static/config
+        leaves stay replicated. Returns (stacked, per_point_keys)."""
+        ref = dicts[0]
+        per_point = {
+            k
+            for k, v in ref.items()
+            if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == shards[0]._n_total
+        }
+        out = {}
+        for k, v0 in ref.items():
+            if v0 is None:
+                continue
+            if k in per_point:
+                tgt = (n_q,) + tuple(
+                    max(d[k].shape[ax] for d in dicts) for ax in range(1, v0.ndim)
+                )
+                fill = _stack_fill(k)
+                out[k] = jnp.stack([_pad_to_shape(d[k], tgt, fill) for d in dicts])
+            else:
+                out[k] = v0
+        return out, per_point
+
+    @staticmethod
+    def _corpus_with_mask(c: dict, pad) -> dict:
+        """Per-shard counts differ, so the static-count row masking of
+        ops/graph.py can't apply across the stack: every shard gets an
+        explicit row_mask instead."""
+        c.pop("count", None)
+        c.setdefault("row_mask", pad)
+        return {k: v for k, v in c.items() if v is not None}
+
+    @staticmethod
+    def _stack_corpus(per_shard_c: list[dict], n_pad: int, stacked: bool = True):
+        """Unify per-shard corpus dicts to common shapes and stack them on
+        a leading shard axis (``stacked=False`` returns the padded lists).
+        Only keys every shard produced survive (e.g. one shard's
+        vocabulary may exceed the dense gate and omit vocab_mark)."""
         corpus_keys = [
             k for k in per_shard_c[0] if all(k in c for c in per_shard_c)
         ]
         corpus_stacks: dict[str, list] = {}
         for k in corpus_keys:
-            # unify shapes across shards: per-row arrays (leading axis ==
-            # the shard's corpus rows) pad rows to n_pad; every other
-            # axis — and non-row-indexed arrays like vocab_mark — pads to
-            # the per-key max across shards
+            # per-row arrays (leading axis == the shard's corpus rows) pad
+            # rows to n_pad; every other axis — and non-row-indexed arrays
+            # like vocab_mark — pads to the per-key max across shards
             per_row = k != "vocab_mark" and all(
                 c[k].shape[0] == c["vecs"].shape[0] for c in per_shard_c
             )
@@ -358,6 +419,23 @@ class ShardedHnsw:
                 tgt = (n_pad,) + tgt[1:]
             fill = _stack_fill(k)
             corpus_stacks[k] = [_pad_to_shape(c[k], tgt, fill) for c in per_shard_c]
+        if stacked:
+            return {k: jnp.stack(v) for k, v in corpus_stacks.items()}
+        return corpus_stacks
+
+    def _stack(self, shards: list[Hnsw]) -> None:
+        n_pad = max(h.data.ids.shape[0] for h in shards)
+        max_lv = max(len(h._upper) for h in shards)
+        m = shards[0].maxM
+        u_rows = [
+            max((h._upper[l].shape[0] if l < len(h._upper) else 1) for h in shards)
+            for l in range(max_lv)
+        ]
+        per_shard_c = [
+            self._corpus_with_mask(self.space.corpus_dict(h.data), h.data.extra["pad"])
+            for h in shards
+        ]
+        corpus_stacks = self._stack_corpus(per_shard_c, n_pad, stacked=False)
         ids, lvl0 = [], []
         uppers: list[list] = [[] for _ in range(max_lv)]
         for h in shards:
@@ -438,10 +516,12 @@ class ShardedHnsw:
         for si, (lo, hi) in enumerate(bounds):
             sub = _subset_store(store, lo, hi)
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
-            # per-shard sketch proxies would need a shared R matrix and a
-            # global vocabulary width; until the sharded path grows those,
-            # shards build on the host space directly (round-1 behavior)
+            # the graph arrays are already built; the sketch proxy is a
+            # construction-only artifact (queries traverse the host space),
+            # so skip the proxy encode on restore. vocab_floor still
+            # applies: the stacked corpus widths must match the saved ones.
             h.sketch_dim = 0
+            h.vocab_floor = self._global_vocab_floor(store)
             rows = int(np.asarray(state[f"s{si}_rows"])[0])
             sh_state = {
                 "level0": np.asarray(state["level0"])[si][:rows],

@@ -170,7 +170,9 @@ class SparseSpaceBase(Space):
         vals = self._sketch_vals(qenc["qcol"], qenc["qval"], qenc["qlen"])
         return {"q": S.sketch_csr(qenc["qcol"], vals, r_mat)}
 
-    def encode_dataset(self, store: DataStore, row_multiple: int = 8) -> SparseDeviceData:
+    def encode_dataset(
+        self, store: DataStore, row_multiple: int = 8, vocab_floor: int = 0
+    ) -> SparseDeviceData:
         pts = store.sparse_points()
         n = len(pts)
         n_pad = round_up(max(n, 1), row_multiple)
@@ -196,6 +198,11 @@ class SparseSpaceBase(Space):
         # corpus it actually scores, so re-encodes or per-shard encodes
         # can never leave a stale width behind (round-1 advisor finding).
         vmax = int(max((int(p.ids[-1]) for p in pts if len(p.ids)), default=0))
+        # vocab_floor: a caller-supplied GLOBAL vocabulary lower bound so
+        # independent encodes (e.g. per-shard, parallel/hnsw_sharded.py)
+        # produce the SAME padded width — a prerequisite for sharing one
+        # JL projection across shards and for stacking their programs.
+        vmax = max(vmax, int(vocab_floor))
         if self.dense_dot_ok and 0 < vmax <= VOCAB_DENSE_MAX:
             v_pad = round_up(vmax, 128)
             data.extra["vocab_mark"] = jnp.zeros(v_pad, jnp.int8)
