@@ -4,9 +4,12 @@ Primary metric: exact-kNN throughput on a SIFT-1M-style workload
 (1M x 128-d corpus, k=10, clustered synthetic data with realistic
 intrinsic dimensionality ~14 — eval/datasets.py) on one chip —
 BASELINE.md config 2 ("seq_search brute-force exact kNN ... GFLOP/s").
-The baseline denominator is a CPU BLAS scan of the same workload
-measured in-process (an upper bound on the reference's per-pair SIMD
-scan, so vs_baseline is conservative).
+The baseline denominator is the REFERENCE's own seq_search scan on the
+bit-identical dataset, compiled from source and measured on this
+machine's CPU core (scripts/ref_baseline; 13.3 qps — BASELINE.md
+"Measured (reference)"). An in-process CPU BLAS scan (an upper bound
+on the reference's per-pair SIMD scan) is also measured and reported
+on stderr as a cross-check.
 
 Secondary metrics on stderr: HNSW build wall-clock and QPS/recall@10
 sweep on a 100k slice (BASELINE.md configs 1/3 shape; the driver records
@@ -106,16 +109,37 @@ def bench_hnsw(n=100_000, d=128, q=2048, k=10, efs=(20, 50, 100, 200)):
     return build_s, rows
 
 
+#: Reference seq_search on SIFT-1M-synth, one CPU core of this machine,
+#: g++ -O3 -march=native build of /root/reference driven through its own
+#: C++ API (scripts/ref_baseline/bench_ref.cpp; BASELINE.md round 2).
+REF_EXACT_QPS = 13.3
+
+
 def main():
+    import os
+
+    # honor $JAX_PLATFORMS through jax.config: this image's site hook
+    # makes the env var alone unreliable (see tpu_knn/cli.py _pin_platform)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat.split(",")[0])
+        except Exception:
+            pass
     quick = "--quick" in sys.argv
     n = 100_000 if quick else 1_000_000
     cpu_qps = bench_cpu_baseline()
     qps, gflops, dt = bench_exact_knn(n=n)
+    # --quick runs a 10x smaller corpus; scale the reference denominator
+    # (its scan time is linear in n) so vs_baseline stays comparable
+    ref_qps = REF_EXACT_QPS * (1_000_000 / n)
     result = {
         "metric": "exact_knn_qps_sift1m_synth_k10",
         "value": round(qps, 1),
-        "unit": f"queries/s/chip ({n // 1000}k x 128d f32 exact scan)",
-        "vs_baseline": round(qps / cpu_qps, 2),
+        "unit": f"queries/s/chip ({n // 1000}k x 128d f32 exact scan; vs_baseline = vs measured reference scan/core)",
+        "vs_baseline": round(qps / ref_qps, 2),
     }
     print(json.dumps(result))
     print(
