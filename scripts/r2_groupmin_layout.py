@@ -49,18 +49,54 @@ def main():
 
     flops = 2.0 * N * D * Q
 
-    # XLA reference: fused matmul + full-row min
-    @jax.jit
-    def xla_rowmin():
-        g = jax.lax.dot_general(
-            q, x, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.min(-2.0 * g + qt[:, None] + xt[None, :], axis=1)
+    # XLA references: fused matmul + full-row reduction, f32-HIGHEST and
+    # bf16, with min and sum epilogues. A no-epilogue control would be
+    # DCE'd or HBM-write-bound (8GB product), so the sum variant is the
+    # control: same product, same data volume, different reduction op —
+    # if sum == min, the epilogue op is free and the bind is the matmul
+    # pipeline itself.
+    def xla_rowred(prec, red):
+        xb = x.astype(jnp.bfloat16) if prec == "bf16" else x
+        qb = q.astype(jnp.bfloat16) if prec == "bf16" else q
+        p = (jax.lax.Precision.DEFAULT if prec == "bf16"
+             else jax.lax.Precision.HIGHEST)
 
-    dt = timeit(xla_rowmin)
-    emit(kind="xla_rowmin_f32", ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
+        @jax.jit
+        def f():
+            g = jax.lax.dot_general(
+                qb, xb, (((1,), (1,)), ((), ())),
+                precision=p, preferred_element_type=jnp.float32,
+            )
+            z = -2.0 * g + qt[:, None] + xt[None, :]
+            return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
+
+        return f
+
+    for prec in ("f32", "bf16"):
+        for red in ("min", "sum"):
+            try:
+                dt = timeit(xla_rowred(prec, red))
+                emit(kind=f"xla_row{red}_{prec}",
+                     ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
+            except Exception as e:
+                emit(kind=f"xla_row{red}_{prec}", err=str(e)[-300:])
+
+    # contraction-depth probe: same kernel at d=256 (2x FLOPs). If the
+    # K=128 contraction depth binds the MXU pipeline (weight-tile swap
+    # every pass), time grows by LESS than 2x and TF/s rises.
+    x2 = jnp.concatenate([x, x], axis=1)
+    q2 = jnp.concatenate([q, q], axis=1)
+    qt2, xt2 = 2.0 * qt, 2.0 * xt
+    for prec in ("float32", "bfloat16"):
+        try:
+            fn = lambda: PS.fused_groupmin(
+                q2, x2, qt2, xt2, -2.0, tq=256, tc=2048, precision=prec
+            )
+            dt = timeit(fn)
+            emit(kind="fused_d256", prec=prec, ms=round(dt * 1e3, 2),
+                 tfs=round(2 * flops / dt / 1e12, 1))
+        except Exception as e:
+            emit(kind="fused_d256", prec=prec, err=str(e)[-300:])
 
     gold = None
     for lay in ("q", "x"):
