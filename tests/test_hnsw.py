@@ -195,3 +195,44 @@ def test_graph_sanity_checkers():
     # a built graph must actually link things: mean degree near M
     deg = np.average(np.arange(hist.shape[0]), weights=hist)
     assert deg >= 3, deg
+
+
+def test_construction_state_lifetime(rng):
+    """Wave encodings (a second corpus copy) and the sparse sketch proxy
+    are construction-only: dropped after build/restore unless sketchQuery
+    traverses the proxy; SwGraph keeps them (its delete path re-scores
+    pairs with the wave encodings)."""
+    from tpu_knn import Index, Params
+    from tpu_knn.core.dataset import DataKind
+    from tpu_knn.eval.datasets import sparse_like
+
+    x = rng.standard_normal((256, 16)).astype(np.float32)
+    idx = Index("l2", Params(dim=16), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=4, efConstruction=10, waveSize=32))
+    assert idx.method._qenc_all is None and idx.method._proxy is None
+    assert idx.method._graph_data is idx.method.data
+
+    pts = sparse_like(128, vocab=500, nnz=8, n_clusters=4, seed=1)
+    sp = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    sp.add_sparse_batch(pts)
+    sp.build_index(Params(M=4, efConstruction=10, waveSize=32))
+    assert sp.method._proxy is None  # sketchQuery=0 -> proxy dropped
+    base_mem = sp.memory_usage_bytes()
+
+    sq = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    sq.add_sparse_batch(pts)
+    sq.build_index(Params(M=4, efConstruction=10, waveSize=32, sketchQuery=1))
+    assert sq.method._proxy is not None  # needed at query time
+    # the resident proxy counts toward memory accounting
+    assert sq.memory_usage_bytes() > base_mem
+    d, i = sq.knn_query_batch(pts[:4], 3)
+    assert (np.asarray(i)[:, 0] == np.arange(1, 5)).all()
+
+    sw = Index("l2", Params(dim=16), method="sw-graph")
+    sw.add_dense_batch(x)
+    sw.build_index(Params(NN=4, waveSize=32))
+    assert sw.method._qenc_all is not None  # KEEP_WAVE_STATE
+    sw.delete_batch([3, 7], strategy="neighbors_only")
+    d, i = sw.knn_query_batch(x[:4], 3)
+    assert np.asarray(i).shape == (4, 3)

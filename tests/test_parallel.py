@@ -231,7 +231,9 @@ def test_sharded_sparse_shared_proxy(rng, monkeypatch):
     vf = sh._global_vocab_floor(store)
     for h, st in ((ha, half_a), (hb, half_b)):
         sh._configure_shard(h, vf)
-        h.create_index(st)
+        # _prepare, not create_index: the proxy is construction-only and
+        # create_index drops it after the waves (_drop_wave_state)
+        h._prepare(st)
     assert ha._proxy is not None and hb._proxy is not None
     np.testing.assert_array_equal(
         np.asarray(ha._proxy[2]), np.asarray(hb._proxy[2])

@@ -165,10 +165,12 @@ def main(argv=None) -> int:
 
                 np.savez(args.saveIndex + f".k{k}.npz", **method.state_arrays())
             ex = Experiments(space, sub, queries, k)
-            if args.cachePrefixGS:
-                ex.gold.save_cache(f"{args.cachePrefixGS}.k{k}")
             for i, row in enumerate(ex.run(method, qparams)):
                 metas.setdefault(i, MetaAnalysis()).add(row)
+            if args.cachePrefixGS:
+                # after run(): the kNN gold standard is computed lazily on
+                # the first run() (saving earlier would raise)
+                ex.gold.save_cache(f"{args.cachePrefixGS}.k{k}")
         rows = []
         for i, m in sorted(metas.items()):
             agg = m.aggregate()
@@ -184,8 +186,10 @@ def main(argv=None) -> int:
         print(f"\n=== kNN k={k} (method={args.method}, space={args.spaceType}) ===", file=out)
         print(format_table(rows, ["params"] + [c for c in rows[0] if c != "params"]), file=out)
 
-    for r in radii:
-        metas: dict[int, MetaAnalysis] = {}
+    # range sweeps: one index build per split, all radii against it (the
+    # index does not depend on the radius)
+    rmetas: dict[tuple[float, int], MetaAnalysis] = {}
+    if radii:
         for split in splits:
             if args.queryFile:
                 sub, queries = store, _store_points(space, split[1])
@@ -197,10 +201,14 @@ def main(argv=None) -> int:
             method = method_factory(space)
             method.create_index(sub)
             ex = Experiments(space, sub, queries)
-            for i, row in enumerate(ex.run_range(method, r, qparams)):
-                metas.setdefault(i, MetaAnalysis()).add(row)
+            for r in radii:
+                for i, row in enumerate(ex.run_range(method, r, qparams)):
+                    rmetas.setdefault((r, i), MetaAnalysis()).add(row)
+    for r in radii:
         rows = []
-        for i, m in sorted(metas.items()):
+        for (rr, i), m in sorted(rmetas.items()):
+            if rr != r:
+                continue
             agg = m.aggregate()
             row = {"params": str(qparams[i].as_dict() if qparams[i] else {})}
             cols = ["recall"] if args.recallOnly else [

@@ -158,9 +158,16 @@ class Experiments:
             # (an approx method may return a boundary point the gold
             # scan's fp tolerance excluded, or vice versa)
             w = max(gd.shape[1], ad.shape[1])
+            # check_invariant=False: the "approx can't beat exact" FATAL
+            # is a kNN invariant (rank r of both lists is defined). Range
+            # results are ragged — a boundary point the gold scan's fp
+            # comparison excluded lines a finite approx distance against
+            # a gold inf pad at the same rank, which is legitimate, not a
+            # violation (the comment above anticipates exactly this).
             m = per_query_metrics(
                 _pad_to(gd, w, np.inf), _pad_to(gids, w, -1),
                 _pad_to(ad, w, np.inf), _pad_to(aids, w, -1),
+                check_invariant=False,
             )
             row = summarize(m)
             row["qps"] = nq / dt

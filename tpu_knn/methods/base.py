@@ -28,6 +28,27 @@ from ..spaces.base import Space
 RESULT_DIST_CUTOFF = 1e29
 
 
+def stream_range_results(counts: np.ndarray, data, collect):
+    """Shared tail of the streamed two-pass range scan (seq_search and
+    vptree): size the result cap from the counts pass (128-bucketed so
+    the jit cache stays small across radii), run the collect pass, and
+    slice per-query (ids, dists) lists. ``collect(cap)`` returns
+    ([Q, cap] dists, [Q, cap] corpus positions) ascending with
+    (+inf, -1) pads. Device memory stays O(Q*cap), never [Q, N]."""
+    from ..core.dataset import round_up
+
+    f32 = np.zeros(0, np.float32)
+    if counts.max(initial=0) == 0:
+        return [(np.zeros(0, np.int32), f32) for _ in range(counts.shape[0])]
+    cap = min(int(round_up(int(counts.max()), 128)), data.ids.shape[0])
+    dk, pos = collect(cap)
+    dk, pos = np.asarray(dk), np.asarray(pos)
+    ids = np.asarray(data.ids)
+    return [
+        (ids[pos[i, :c]].copy(), dk[i, :c].copy()) for i, c in enumerate(counts)
+    ]
+
+
 class Method:
     name: str = "abstract"
     supports_range: bool = True
@@ -50,7 +71,15 @@ class Method:
     @property
     def dist_comps(self) -> int:
         if self._dc_pending:
-            self._dc_base += sum(int(x) for x in self._dc_pending)
+            import numpy as np
+
+            # pending items may be device scalars OR per-query i32
+            # vectors (methods whose batch totals could overflow int32 on
+            # device — e.g. 2048 queries x 1M-corpus range scans — report
+            # per-query counts; the exact total is formed here in int64)
+            self._dc_base += sum(
+                int(np.asarray(x).astype(np.int64).sum()) for x in self._dc_pending
+            )
             self._dc_pending.clear()
         return self._dc_base
 

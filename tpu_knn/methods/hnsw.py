@@ -526,12 +526,31 @@ class Hnsw(Method):
             np.floor(-np.log(np.maximum(u, 1e-12)) * self.mult), 32
         ).astype(np.int32)[:n]
 
+    #: SwGraph keeps the wave encodings after the build: its delete path
+    #: re-scores pairs with them (sw_graph._patch_links). Plain HNSW is
+    #: immutable once built, so construction-only state is dropped.
+    KEEP_WAVE_STATE = False
+
     def create_index(self, store: DataStore, params: Params | None = None) -> None:
         n = self._prepare(store)
         if n == 0:
             return
         self._run_waves(0, n)
+        self._drop_wave_state()
         log("DEBUG", f"{self.name} built: n={n} max_level={self._max_level}")
+
+    def _drop_wave_state(self) -> None:
+        """Free construction-only device state: the corpus-as-queries
+        encodings (a second full copy of the corpus — ~512MB at 1M x 128
+        f32) and, unless sketchQuery traverses it, the JL sketch proxy
+        (~4GB at 1M x dsk=1024). Queries run on self.space/self.data."""
+        if self.KEEP_WAVE_STATE:
+            return
+        self._qenc_all = None
+        self._exact_qenc_all = None
+        if not self.sketch_query:
+            self._proxy = None
+            self._graph_space, self._graph_data = self.space, self.data
 
     def _prepare(self, store: DataStore) -> int:
         """Everything before the insertion waves: level sampling, level-
@@ -724,6 +743,11 @@ class Hnsw(Method):
         out = list(self._upper)
         if self._nbr_store is not None:
             out.append(self._nbr_store[1])
+        if self._proxy is not None:
+            # resident when sketchQuery=1 (or on SwGraph): sketch corpus
+            # + projection count toward memory_usage_bytes
+            out.append(self._proxy[1].vecs)
+            out.append(self._proxy[2])
         return out
 
     def _get_nbr_store(self):
@@ -827,7 +851,17 @@ class Hnsw(Method):
         meta = np.asarray(state["meta"])
         self._entry = int(meta[4]) if meta.shape[0] > 4 else 0
         n = len(store)
-        self._encode_store(store, n)
+        if not self.KEEP_WAVE_STATE and not self.sketch_query:
+            # the graph arrays are already built: skip the JL projection
+            # (construction-only; minutes of device work at 1M)
+            keep_dsk, self.sketch_dim = self.sketch_dim, 0
+            try:
+                self._encode_store(store, n)
+            finally:
+                self.sketch_dim = keep_dsk
+        else:
+            self._encode_store(store, n)
+        self._drop_wave_state()
         self._max_level = int(self.levels.max(initial=0)) if n else 0
         self.graph = {"level0": jnp.asarray(state["level0"])}
         ups = sorted(

@@ -45,9 +45,9 @@ def _daat_knn(space, qenc, data, k: int, chunk: int):
     def touched(ci):
         xc = space.slice_data(data, ci * chunk, chunk)
         inter = S.intersect_count_blocked(qenc["qcol"], xc["cols"])
-        return jnp.sum(inter > 0)
+        return jnp.sum(inter > 0, axis=1)  # per query (int32-safe)
 
-    nd = jnp.sum(jax.lax.map(touched, jnp.arange(n_pad // chunk)))
+    nd = jnp.sum(jax.lax.map(touched, jnp.arange(n_pad // chunk)), axis=0)
     ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, n_pad - 1)], -1)
     return d, ids, nd
 

@@ -65,7 +65,9 @@ def _napp_knn(
     dq = space.block(qenc, xc)  # [Q, P]
     _, qtop = jax.lax.top_k(-dq, min(prefix_search, p))  # [Q, S] pivot indices
     qmask = jnp.zeros((b, p + 1), bool).at[jnp.arange(b)[:, None], qtop].set(True)
-    ndist = jnp.int32(b * p)
+    # per-query counts: a 2048-query batch over a 1M corpus can exceed
+    # int32 in total; the host sums per-query i32 in int64 (methods/base.py)
+    ndist = jnp.full((b,), p, jnp.int32)
 
     def cand_mask(ci):
         """ScanCount: how many of the query's prefix pivots each object of
@@ -87,8 +89,10 @@ def _napp_knn(
 
     cd, cpos = T.streaming_smallest_k(chunk_dists, n_pad // chunk, chunk, b, k)
     if not skip_checking:
-        ncand = jax.lax.map(lambda ci: jnp.sum(cand_mask(ci)[0]), jnp.arange(n_pad // chunk))
-        ndist = ndist + jnp.sum(ncand)
+        ncand = jax.lax.map(
+            lambda ci: jnp.sum(cand_mask(ci)[0], axis=1), jnp.arange(n_pad // chunk)
+        )  # [n_chunks, Q]
+        ndist = ndist + jnp.sum(ncand, axis=0)
     ids = jnp.where(cpos >= 0, data.ids[jnp.clip(cpos, 0, n_pad - 1)], -1)
     return cd, ids, ndist
 

@@ -28,7 +28,7 @@ from ..core.errors import IndexNotBuiltError
 from ..core.params import ParamManager, Params
 from ..core.registry import register_method
 from ..ops import topk as T
-from .base import Method
+from .base import Method, stream_range_results
 
 #: Score dot-factored sparse scans through a densified query table
 #: (gather per corpus element) instead of densifying corpus chunks over
@@ -458,20 +458,14 @@ class SeqSearch(Method):
             )
         )
         self.dist_comps += counts.shape[0] * self.data.count
-        f32 = np.zeros(0, np.float32)
-        if counts.max(initial=0) == 0:
-            return [(np.zeros(0, np.int32), f32) for _ in range(counts.shape[0])]
-        # pow2-ish cap buckets keep the jit cache small across radii
-        cap = min(int(round_up(int(counts.max()), 128)), self.data.ids.shape[0])
-        dk, pos = _range_collect_device(
-            self.space, qenc, self.data, float(radius), cap, self._chunk, self.precision
+        return stream_range_results(
+            counts,
+            self.data,
+            lambda cap: _range_collect_device(
+                self.space, qenc, self.data, float(radius), cap, self._chunk,
+                self.precision,
+            ),
         )
-        dk, pos = np.asarray(dk), np.asarray(pos)
-        ids = np.asarray(self.data.ids)
-        return [
-            (ids[pos[i, :c]].copy(), dk[i, :c].copy())
-            for i, c in enumerate(counts)
-        ]
 
     # -- the gold-standard hook (gold_standard.h analog) --
     def exact_knn(self, points, k: int):

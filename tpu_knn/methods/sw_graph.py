@@ -48,6 +48,9 @@ class SmallWorldRand(Hnsw):
     name = "sw-graph"
     supports_range = False
     supports_incremental = True
+    # delete_batch re-scores pairs with the wave encodings after the
+    # build (_patch_links), so construction state must survive
+    KEEP_WAVE_STATE = True
 
     def __init__(self, space, params: Params | None = None):
         pm = ParamManager(Params.of(params))
@@ -171,10 +174,14 @@ class SmallWorldRand(Hnsw):
         cand = adj[d_idx]  # [P, cap] deleted nodes' friends
         cand_ok = (cand >= 0) & ~deleted_full[np.clip(cand, 0, adj.shape[0] - 1)]
         cand_m = np.where(cand_ok, cand, -1)
-        corpus = _corpus_dict(self.space, self.data)
+        # score in the GRAPH space: the wave encodings are proxy sketches
+        # when a sparse build used one, and "closest surviving friend" is
+        # an ordering decision, which the proxy preserves — mixing host
+        # space with proxy encodings would score garbage
+        corpus = _corpus_dict(self._graph_space, self._graph_data)
         d = np.asarray(
             _score_pairs(
-                self.space,
+                self._graph_space,
                 self._qenc_all,
                 self._n_total,
                 corpus,

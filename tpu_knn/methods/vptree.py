@@ -44,7 +44,7 @@ from ..ops import topk as T
 from ..ops.topk import INF
 from ..utils.logging import log
 from ..utils.rng import np_rng
-from .base import Method
+from .base import Method, stream_range_results
 
 
 @partial(jax.jit, static_argnames=("space", "depth", "leaf_cap", "k", "max_leaves", "chunk"))
@@ -72,7 +72,9 @@ def _vptree_knn(
     # phase 1: all query->pivot distances in one masked gather-block
     xc = _gather_xc(space, data, pivot_pos)
     dpiv = space.block(qenc, xc)  # [Q, n_internal]
-    ndist = jnp.int32(b * n_internal)
+    # dist counts are PER QUERY (each < 2^31; the batch total can exceed
+    # int32 at 2048 queries x 1M corpus — summed in int64 on host)
+    ndist = jnp.full((b,), n_internal, jnp.int32)
 
     # phase 2: home-leaf descent + initial radius
     node = jnp.ones(b, jnp.int32)
@@ -83,7 +85,7 @@ def _vptree_knn(
     home_leaf = node - (n_internal + 1)  # [Q]
     home = leaf_members[jnp.clip(home_leaf, 0, n_leaves - 1)]  # [Q, leaf_cap]
     dh = _score_members(space, qenc, data, home)
-    ndist = ndist + jnp.sum(home >= 0)
+    ndist = ndist + jnp.sum(home >= 0, axis=1)
     kk = min(k, leaf_cap)
     init_d, init_pos = T.smallest_k(dh, kk, jnp.where(home >= 0, home, -1))
     if kk < k:
@@ -129,7 +131,7 @@ def _vptree_knn(
         return jnp.where(vis, d, INF)
 
     cd, cpos = T.streaming_smallest_k(chunk_dists, n_pad // chunk, chunk, b, k)
-    ndist = ndist + jnp.sum(visit * leaf_count[None, :])
+    ndist = ndist + jnp.sum(visit * leaf_count[None, :], axis=1)
 
     # merge the three result sets; dedup on the FULL concatenation before
     # truncating to k (the home leaf is scored both in phase 2 and 4)
@@ -193,7 +195,8 @@ def _vptree_range_counts(
 
     acc0 = jnp.sum((dpiv <= radius).astype(jnp.int32), axis=1)
     counts, _ = jax.lax.scan(step, acc0, jnp.arange(data.ids.shape[0] // chunk))
-    ndist = jnp.int32(b * n_internal) + jnp.sum(visit * leaf_count[None, :])
+    # per-query counts (batch totals can exceed int32; summed on host)
+    ndist = n_internal + jnp.sum(visit * leaf_count[None, :], axis=1)
     return counts, ndist
 
 
@@ -494,19 +497,13 @@ class VPTree(Method):
         )
         counts = np.asarray(counts)
         self._add_dist_comps(nd)
-        f32 = np.zeros(0, np.float32)
-        if counts.max(initial=0) == 0:
-            return [(np.zeros(0, np.int32), f32) for _ in range(counts.shape[0])]
-        cap = min(int(round_up(int(counts.max()), 128)), self.data.ids.shape[0])
-        dk, pos = _vptree_range_collect(
-            *args, float(radius), cap, self.depth, self._chunk
+        return stream_range_results(
+            counts,
+            self.data,
+            lambda cap: _vptree_range_collect(
+                *args, float(radius), cap, self.depth, self._chunk
+            ),
         )
-        dk, pos = np.asarray(dk), np.asarray(pos)
-        ids = np.asarray(self.data.ids)
-        return [
-            (ids[pos[i, :c]].copy(), dk[i, :c].copy())
-            for i, c in enumerate(counts)
-        ]
 
     # ---------------- persistence ----------------
 

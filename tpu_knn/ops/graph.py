@@ -42,7 +42,11 @@ NEG1 = np.int32(-1)
 #:   "broadcast": two O(W^2) membership broadcasts before scoring
 #:   "postmerge": sort-adjacency run-dedup after the merge (O(W) compare
 #:                + one extra narrow sort; duplicates get scored, which
-#:                costs nothing at fixed frontier width)
+#:                costs nothing at fixed frontier width). ASSUMES a node
+#:                scores bitwise-identically wherever it appears — true
+#:                when every score comes from the one in-loop score_rows
+#:                program; beam_search forces "broadcast" when a
+#:                dequantized nbr_store breaks that.
 BEAM_DEDUP = "broadcast"
 #: merge: how the candidate frontier enters the beam
 #:   "sort": one 3-operand full-width lax.sort
@@ -277,6 +281,14 @@ def beam_search(
     """
     dedup = BEAM_DEDUP if dedup is None else dedup
     merge = BEAM_MERGE if merge is None else merge
+    if nbr_store is not None and dedup == "postmerge":
+        # postmerge dedup keys the sorted run-compare on (d, id) pairs and
+        # assumes a node always scores bitwise-identically; with a
+        # dequantized neighbor store the entry point's exact init score
+        # differs from its in-loop store score, the copies don't sort
+        # adjacently, and a duplicate id can survive into the final top-k.
+        # The id-membership broadcast path is immune.
+        dedup = "broadcast"
     b = entry.shape[0]
     m = adj.shape[1]
     k_cand = expand * m
