@@ -139,6 +139,13 @@ def test_max_sq_norm_metadata():
     store = DataStore(DataKind.DENSE)
     store.add_dense_batch(x)
     data = space.encode_dataset(store, row_multiple=8)
+    # lazy: absent after encode (the default f32 tier never reads it),
+    # computed and cached on first use by the reduced-precision path
+    assert "max_sq_norm" not in data.extra
+    from tpu_knn.spaces.dense import ensure_cert_metadata
+
+    ensure_cert_metadata(data)
     want = float((x.astype(np.float64) ** 2).sum(1).max())
     got = float(data.extra["max_sq_norm"])
     assert want <= got <= want * 1.02
+    assert "max_lo_norm" in data.extra and "max_blo_err" in data.extra

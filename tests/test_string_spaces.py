@@ -184,3 +184,119 @@ def test_space_whitelist_parity():
     for name in ("l2", "cosine", "sparse_vector", "sqfd_minus_func", "word_embed_dist_l2"):
         assert is_valid_space_type(name), name
     assert not is_valid_space_type("no_such_space")
+
+
+def test_word_embed_graph_paths(rng):
+    """word_embed must delegate the scoring hooks (term_recompute /
+    pass1_affine) to its inner dense metric: without them the gather-
+    scored beam search crashed with KeyError 'x_term' for dist=l2 and
+    cosine lost the affine fast path (review finding, round 2)."""
+    # clustered vectors (uniform random high-d data is near-equidistant
+    # and defeats graph indexes — CLAUDE.md; this test is a crash
+    # regression for the gather paths, not a recall benchmark)
+    centers = rng.standard_normal((10, 12)) * 3.0
+    pts = centers[np.arange(300) % 10] + 0.1 * rng.standard_normal((300, 12))
+    lines = [
+        f"w{i} " + " ".join(f"{v:.5f}" for v in pts[i]) for i in range(300)
+    ]
+    true = np.stack([
+        np.asarray([float(p) for p in l.split()[1:]], np.float32) for l in lines
+    ])
+    for dist in ("l2", "cosine"):
+        idx = Index("word_embed", Params(dist=dist), method="hnsw",
+                    data_type=DataKind.STRING)
+        idx.add_string_batch(lines)
+        idx.build_index(Params(M=8, efConstruction=40, waveSize=32))
+        # encode sanity: corpus rows hold their claimed ids' vectors
+        vecs = np.asarray(idx.method.data.vecs)[:, :12]
+        ids = np.asarray(idx.method.data.ids)
+        real = ids >= 0
+        want = true[ids[real]]
+        if dist == "cosine":  # cosine pre-normalizes corpus rows
+            want = want / np.linalg.norm(want, axis=1, keepdims=True)
+        assert np.allclose(vecs[real], want, atol=1e-4)
+        idx.set_query_time_params(Params(efSearch=60))
+        d, i = idx.knn_query_batch(lines[:8], 3)
+        hits = (np.asarray(i)[:, 0] == np.arange(8)).mean()
+        assert hits >= 0.9, (dist, np.asarray(i)[:, 0], np.asarray(d)[:, 0])
+
+
+def test_fusion_index_weights_used_in_construction(rng):
+    """indexWeights score index-time distances, queryWeights score
+    queries (reference compDistance(isQueryTime)); previously the index
+    weights were parsed but never applied (review finding, round 2)."""
+    import json
+
+    from tpu_knn.core.dataset import DataStore
+    from tpu_knn.core.registry import create_space
+
+    def obj(dense, ids, vals):
+        return json.dumps({
+            "dense": [list(map(float, dense))],
+            "sparse": [[list(map(int, ids)), list(map(float, vals))]],
+        })
+
+    xs = [obj(rng.standard_normal(2), [1, 2], rng.random(2) + 0.1) for _ in range(8)]
+    space = create_space(
+        "sparse_dense_fusion", Params(indexWeights="1.0,0.0", queryWeights="0.0,1.0")
+    )
+    store = DataStore(DataKind.STRING)
+    store.add_string_batch(xs)
+    data = space.encode_dataset(store)
+    xc = space.slice_data(data, 0, data.ids.shape[0])
+    xc["pad"] = np.asarray(data.extra["pad"])
+    qenc = space.encode_queries(xs[:2])
+    dq = np.asarray(space.block(qenc, xc))              # query weights
+    di = np.asarray(space.construction_space().block(qenc, xc))  # index weights
+    assert not np.allclose(dq[:, :8], di[:, :8])
+    # index view scores ONLY the dense component (weight 1,0)
+    dense_q = np.stack([json.loads(x)["dense"][0] for x in xs[:2]])
+    dense_x = np.stack([json.loads(x)["dense"][0] for x in xs])
+    np.testing.assert_allclose(di[:, :8], -(dense_q @ dense_x.T), atol=1e-5)
+
+    # end-to-end build still works with distinct weight sets
+    idx = Index("sparse_dense_fusion",
+                Params(indexWeights="1.0,0.0", queryWeights="0.0,1.0"),
+                method="hnsw", data_type=DataKind.STRING)
+    idx.add_string_batch(xs)
+    idx.build_index(Params(M=4, efConstruction=8, waveSize=8))
+    d, i = idx.knn_query_batch(xs[:2], 2)
+    assert np.asarray(i).shape == (2, 2)
+
+
+def test_fusion_weight_validation(rng):
+    import json
+
+    import pytest as _pytest
+
+    x = json.dumps({"dense": [[1.0, 0.0]], "sparse": [[[1], [1.0]]]})
+    # reference parity: compDistance skips weights <= FLT_MIN
+    # (space_sparse_dense_fusion.cc:297), so a negative weight drops the
+    # component rather than flipping its sign
+    idx = Index("sparse_dense_fusion",
+                Params(indexWeights="1.0,1.0", queryWeights="1.0,-1.0"),
+                method="seq_search", data_type=DataKind.STRING)
+    idx.add_string_batch([x])
+    d, _ = idx.knn_query_batch([x], 1)
+    assert abs(d[0][0] - (-1.0)) < 1e-5  # -(1.0*dense_dot), sparse skipped
+    # extra weights are tolerated (the reference ignores them) ...
+    extra = Index("sparse_dense_fusion",
+                  Params(indexWeights="1.0,1.0,9.0", queryWeights="1.0,1.0,9.0"),
+                  method="seq_search", data_type=DataKind.STRING)
+    extra.add_string_batch([x])
+    d2, _ = extra.knn_query_batch([x], 1)
+    assert abs(d2[0][0] - (-2.0)) < 1e-5
+    # ... too FEW weights raise
+    few = Index("sparse_dense_fusion",
+                Params(indexWeights="1.0", queryWeights="1.0"),
+                method="seq_search", data_type=DataKind.STRING)
+    few.add_string_batch([x])
+    with _pytest.raises(Exception, match="[Tt]oo few"):
+        few.knn_query_batch([x], 1)
+    # mixed component schemas are rejected at encode
+    y = json.dumps({"dense": [[1.0, 0.0], [2.0, 2.0]], "sparse": [[[1], [1.0]]]})
+    mixed = Index("sparse_dense_fusion", Params(),
+                  method="seq_search", data_type=DataKind.STRING)
+    mixed.add_string_batch([x, y])
+    with _pytest.raises(Exception, match="differing component counts"):
+        mixed.knn_query_batch([x], 1)

@@ -308,11 +308,7 @@ def make_wave_step(
             overflow = old_deg + add_cnt > cap
 
             # append path: valid entries first, order preserved
-            ckey = jnp.where(cand >= 0, 0, 1) * jnp.int32(cand.shape[1]) + (
-                jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
-            )
-            aorder = jnp.argsort(ckey, axis=1)
-            appended = jnp.take_along_axis(cand, aorder, 1)[:, :cap]
+            appended = G.pack_selected(cand, cand >= 0, cap)
 
             # shrink path: heuristic over all candidates of the row owner
             sd, si = jax.lax.sort((base_d, cand), num_keys=1)
@@ -619,7 +615,11 @@ class Hnsw(Method):
                     self.space.store_as_query_points(store)[self.order]
                 )
         else:
-            self._graph_space, self._graph_data = self.space, self.data
+            # index-time scoring may differ from query-time scoring
+            # (sparse_dense_fusion's indexWeights); for every other space
+            # construction_space() is the space itself
+            self._graph_space = self.space.construction_space()
+            self._graph_data = self.data
             self._qenc_all = self.space.encode_queries(
                 self.space.store_as_query_points(store)[self.order]
             )

@@ -422,6 +422,12 @@ class SeqSearch(Method):
             and n_pad % 128 == 0
             and n_pad >= 8 * (kk + 2) * 128
         )
+        if use_twopass and self.pass1_precision != "float32":
+            # lazy certificate metadata (opt-in tiers only; the f32
+            # default never reads it)
+            from ..spaces.dense import ensure_cert_metadata
+
+            ensure_cert_metadata(self.data)
         if use_twopass:
             d, ids, _, _ = _knn_device_twopass(
                 self.space,

@@ -28,10 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# numpy, not jnp: module-level jnp constants initialize the backend at
-# import time, before platform pinning (see ops/sparse.py PAD_Q note).
-BIG = np.int32(1 << 20)
-
 
 def levenshtein_blocked(
     qchars: jax.Array,  # i32[Q, Lq]

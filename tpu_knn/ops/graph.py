@@ -22,9 +22,6 @@ Everything is shape-static and jit/while_loop friendly.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,11 +39,10 @@ NEG1 = np.int32(-1)
 #:   "broadcast": two O(W^2) membership broadcasts before scoring
 #:   "postmerge": sort-adjacency run-dedup after the merge (O(W) compare
 #:                + one extra narrow sort; duplicates get scored, which
-#:                costs nothing at fixed frontier width). ASSUMES a node
-#:                scores bitwise-identically wherever it appears — true
-#:                when every score comes from the one in-loop score_rows
-#:                program; beam_search forces "broadcast" when a
-#:                dequantized nbr_store breaks that.
+#:                costs nothing at fixed frontier width). Relies on a node
+#:                scoring bitwise-identically wherever it appears; the one
+#:                exception (the init-scored entry) is masked from
+#:                candidates inside the body.
 BEAM_DEDUP = "broadcast"
 #: merge: how the candidate frontier enters the beam
 #:   "sort": one 3-operand full-width lax.sort
@@ -281,14 +277,6 @@ def beam_search(
     """
     dedup = BEAM_DEDUP if dedup is None else dedup
     merge = BEAM_MERGE if merge is None else merge
-    if nbr_store is not None and dedup == "postmerge":
-        # postmerge dedup keys the sorted run-compare on (d, id) pairs and
-        # assumes a node always scores bitwise-identically; with a
-        # dequantized neighbor store the entry point's exact init score
-        # differs from its in-loop store score, the copies don't sort
-        # adjacently, and a duplicate id can survive into the final top-k.
-        # The id-membership broadcast path is immune.
-        dedup = "broadcast"
     b = entry.shape[0]
     m = adj.shape[1]
     k_cand = expand * m
@@ -341,8 +329,16 @@ def beam_search(
             earlier = jnp.tril(jnp.ones((k_cand, k_cand), bool), k=-1)[None]
             dup = jnp.any(eq & earlier, axis=2)
             cand = jnp.where(in_beam | dup, NEG1, nbrs)
-        else:  # postmerge: duplicates survive scoring, removed after sort
-            cand = nbrs
+        else:  # postmerge: duplicates survive scoring, removed after sort.
+            # The run-compare relies on duplicate ids landing ADJACENT in
+            # the (d, id)-keyed sort, i.e. on a node scoring bitwise-
+            # identically everywhere it appears. Every in-loop score of a
+            # node comes from the same program and does; the ENTRY is the
+            # one exception (init-scored by a different program shape at
+            # beam setup — and exactly, vs the dequantized store when
+            # nbr_store is on), so mask it from candidates — it sits in
+            # the beam from iteration 0 anyway.
+            cand = jnp.where(nbrs == entry[:, None], NEG1, nbrs)
 
         if nbr_store is not None:
             # one [M, D] granule per parent; rows are position-aligned

@@ -1,6 +1,7 @@
 """Pallas TPU kernel: fused matmul-factored distance + 128-column
-group-min — pass 1 of the exact two-pass kNN scan (ops/topk.py
-grouped_streaming_topk).
+group-min — pass 1 of the exact two-pass kNN scan (group-min
+containment theorem, ops/topk.py GROUP note; full pipeline in
+methods/seq_search.py).
 
 Why a kernel: XLA fuses a full-row min into the matmul epilogue (the
 distance block never hits HBM), but a *grouped* min (reshape + reduce)
@@ -147,6 +148,16 @@ def fused_groupmin(
     n = x.shape[0]
     tq = min(tq, qn)
     tc = min(tc, n)
+    # HARD divisibility contract: the grid floor-divides, so a ragged
+    # tail would be silently skipped and its output rows left
+    # UNINITIALIZED (garbage neighbors, no error). Callers pad
+    # (methods/seq_search.py buckets query batches; corpora pad to the
+    # chunk multiple) — refuse anything else.
+    if qn % tq or n % tc or n % GROUP or d % 128:
+        raise ValueError(
+            f"fused_groupmin needs qn%tq==0, n%tc==0, n%{GROUP}==0, d%128==0; "
+            f"got qn={qn} tq={tq} n={n} tc={tc} d={d}"
+        )
     # corpus tile OUTER, query tile INNER (the grid's last axis is the
     # fastest-varying): the big x tile loads from HBM once per sweep and
     # the small q tiles cycle — the reverse order re-reads the whole

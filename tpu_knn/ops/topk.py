@@ -82,46 +82,12 @@ def mask_padding(dists: jax.Array, count: int | jax.Array, total: int) -> jax.Ar
 
 
 #: Lane-group width for the two-pass exact top-k (one VPU lane row).
+#: The group-min containment theorem behind the two-pass scan: if entry
+#: e is among the k smallest overall, fewer than k groups have a min
+#: below e's group min (each such group would contribute an element
+#: smaller than e), so e's group is among the k smallest group-mins —
+#: one top-k over the [Q, N/128] mins selects <= k+margin groups whose
+#: k*128 columns provably contain the exact answer. The full pipeline
+#: lives in methods/seq_search.py (_knn_device_twopass) with the fused
+#: pass-1 kernel in ops/pallas_scan.py.
 GROUP = 128
-
-
-def grouped_streaming_topk(
-    chunk_dists: Callable[[jax.Array], jax.Array],
-    num_chunks: int,
-    chunk_size: int,
-    num_queries: int,
-    k: int,
-    margin: int = 2,
-):
-    """Exact streaming top-k that avoids per-chunk sorts.
-
-    Pass 1 streams the distance blocks and keeps only each 128-column
-    group's min — a fused VPU reduction that runs at matmul speed
-    (measured: lax.top_k per chunk costs ~7x the matmul itself on a
-    v5e). Pass 2 exploits the *group-min containment theorem*: if entry
-    e is among the k smallest overall, fewer than k groups have a min
-    below e's group min (each such group would contribute an element
-    smaller than e), so e's group is among the k smallest group-mins.
-    Hence one top-k over the [Q, N/128] mins selects <= k groups whose
-    union of k*128 columns provably contains the exact answer; those
-    columns alone are re-scored and sorted.
-
-    ``margin`` extra groups absorb re-scoring's f32 reduction-order
-    jitter near group boundaries. Returns (group_pos f32[Q, G], dists,
-    cols) where the caller re-scores: this function only does pass 1 +
-    group selection; see seq_search for the full pipeline.
-    """
-    groups_per_chunk = chunk_size // GROUP
-    total_groups = num_chunks * groups_per_chunk
-
-    def step(_, ci):
-        d = chunk_dists(ci)  # [Q, chunk]
-        gm = jnp.min(d.reshape(num_queries, groups_per_chunk, GROUP), axis=2)
-        return None, gm
-
-    _, mins = jax.lax.scan(step, None, jnp.arange(num_chunks))  # [C?, Q, gpc]
-    mins = jnp.moveaxis(mins, 0, 1).reshape(num_queries, total_groups)
-    kg = min(k + margin, total_groups)
-    _, gsel = jax.lax.top_k(-mins, kg)  # [Q, kg] group indices
-    cols = gsel[:, :, None] * GROUP + jnp.arange(GROUP)[None, None, :]
-    return cols.reshape(num_queries, kg * GROUP)  # candidate columns

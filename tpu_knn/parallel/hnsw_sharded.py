@@ -271,7 +271,9 @@ class ShardedHnsw:
             build_space = shards[0]._graph_space
         else:
             build_corpus = st["corpus"]
-            build_space = self.space
+            # index-time scoring space (fusion indexWeights view; self for
+            # every other space) — matches the single-chip build path
+            build_space = self.space.construction_space()
         exact = use_proxy and shards[0]._exact_qenc_all is not None
         if exact:
             eqenc_st, e_per_point = self._stack_qenc(

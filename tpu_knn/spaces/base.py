@@ -143,10 +143,12 @@ class Space:
         """Reference: Space::ApproxEqual (space.h:203-207), testing aid."""
         return bool(abs(self.pairwise(a, b)) <= tol)
 
-    def check_dim_param(self) -> int | None:
-        """l2/cosine-family spaces require an explicit dim param at index
-        creation (reference: lib.zig:351-378 validateCreateInputs)."""
-        return None
+    def construction_space(self):
+        """Space used for index-time distance computations (the
+        reference's compDistance(isQueryTime=false) distinction). Almost
+        every space scores identically at both times and returns itself;
+        sparse_dense_fusion overrides with its indexWeights view."""
+        return self
 
     def __repr__(self):
         return f"<Space {self.name}>"

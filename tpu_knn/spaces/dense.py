@@ -66,6 +66,27 @@ def _pad_cols(a: np.ndarray, mult: int = 128) -> np.ndarray:
     return np.concatenate([a, np.zeros((a.shape[0], dp - d), dtype=a.dtype)], axis=1)
 
 
+def ensure_cert_metadata(data) -> None:
+    """Certificate metadata for the reduced-precision pass-1 scan
+    (methods/seq_search.py _pass1_eps), computed lazily on first use and
+    cached in ``data.extra``: max squared row norm of the transformed
+    matrix plus the exactly-computed bf16 rounding residual norms —
+    |x - bf16(x)| per row and the second-level |lo - bf16(lo)| — the
+    data-adaptive Cauchy-Schwarz bound ~10x tighter than the worst-case
+    u*|q||x| coefficient. 1.01 headroom covers the f32 reductions.
+    Padding rows are zero and cannot raise the maxima."""
+    if "max_lo_norm" in data.extra or data.count == 0:
+        return
+    if not hasattr(data, "vecs") or data.vecs.dtype == jnp.int8:
+        return  # int8 pass 1 is exact; no certificate needed
+    x = data.vecs.astype(jnp.float32)
+    data.extra["max_sq_norm"] = jnp.max(jnp.sum(x * x, axis=1)) * 1.01
+    lo = x - x.astype(jnp.bfloat16).astype(jnp.float32)
+    data.extra["max_lo_norm"] = jnp.sqrt(jnp.max(jnp.sum(lo * lo, axis=1))) * 1.01
+    ble = lo - lo.astype(jnp.bfloat16).astype(jnp.float32)
+    data.extra["max_blo_err"] = jnp.sqrt(jnp.max(jnp.sum(ble * ble, axis=1))) * 1.01
+
+
 class DenseSpace(Space):
     """Shared encode/slice machinery for dense float spaces.
 
@@ -114,26 +135,11 @@ class DenseSpace(Space):
             row_term=None if row_term is None else jnp.asarray(row_term),
         )
         data.extra["pad"] = jnp.asarray(pad)
-        # Certificate metadata for the reduced-precision pass-1 scan
-        # (methods/seq_search.py): max squared row norm of the
-        # *transformed* matrix, plus the exactly-computed bf16 rounding
-        # residual norms — |x - bf16(x)| per row and the second-level
-        # residual |lo - bf16(lo)| — which give a data-adaptive
-        # Cauchy-Schwarz error bound ~10x tighter than the worst-case
-        # u*|q||x| coefficient. 1.01 headroom covers the f32 reductions.
-        if n > 0:
-            import ml_dtypes
-
-            mx = float(np.einsum("ij,ij->i", xt, xt).max()) * 1.01
-            data.extra["max_sq_norm"] = jnp.float32(mx)
-            lo = xt - xt.astype(ml_dtypes.bfloat16).astype(np.float32)
-            lo_sq = np.einsum("ij,ij->i", lo, lo)
-            data.extra["max_lo_norm"] = jnp.float32(float(np.sqrt(lo_sq.max())) * 1.01)
-            ble = lo - lo.astype(ml_dtypes.bfloat16).astype(np.float32)
-            ble_sq = np.einsum("ij,ij->i", ble, ble)
-            data.extra["max_blo_err"] = jnp.float32(
-                float(np.sqrt(ble_sq.max())) * 1.01
-            )
+        # Certificate metadata for the reduced-precision pass-1 scan is
+        # computed LAZILY (ensure_cert_metadata below): the default f32
+        # tier never reads it, and eagerly paying three full-matrix
+        # passes at every encode (1M x 128 = ~1GB of temporaries) for an
+        # opt-in feature measured neutral-to-negative was pure overhead.
         return data
 
     def encode_queries(self, points) -> dict:

@@ -115,3 +115,23 @@ class WordEmbedSpace(Space):
 
     def block(self, qenc, xc, precision: str = "float32"):
         return self._inner.block(qenc, xc, precision)
+
+    # Scoring hooks consumed generically by ops/graph (gather-scored
+    # beam search) and the two-pass exact scan. These MUST mirror the
+    # inner metric: corpus_dict is delegated (so e.g. L2's
+    # term_recompute=True omits 'term'), and without the matching hooks
+    # here the gather paths would see term_recompute=False, inject no
+    # x_term, and crash in the inner _block_impl (KeyError) — while
+    # cosine would silently lose the affine MXU fast path.
+    @property
+    def term_recompute(self) -> bool:
+        return self._inner.term_recompute
+
+    def term_from_rows(self, rows):
+        return self._inner.term_from_rows(rows)
+
+    def pass1_affine(self):
+        return self._inner.pass1_affine()
+
+    def pass1_post(self, s, qenc):
+        return self._inner.pass1_post(s, qenc)

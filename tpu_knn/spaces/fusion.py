@@ -91,8 +91,26 @@ class SparseDenseFusionSpace(Space):
             raise InvalidArgumentError(
                 "sparse_dense_fusion needs both indexWeights and queryWeights"
             )
-        self._layout: tuple = ()
-        self._qweights: tuple = ()
+        # no per-encode schema on the instance: the component layout is
+        # derived from the encoded dicts' keys at scoring time and the
+        # two weight sets are fixed at construction — mutable space state
+        # was the round-1 advisor's stale-vocab failure pattern
+        self._index_view: SparseDenseFusionSpace | None = None
+
+    def construction_space(self):
+        """Space view scoring with indexWeights — used for index-time
+        distance computations (graph construction), mirroring the
+        reference's compDistance(isQueryTime=false). Queries keep using
+        this instance (queryWeights)."""
+        if self.index_weights == self.query_weights or self.index_weights is None:
+            return self
+        if self._index_view is None:
+            view = object.__new__(SparseDenseFusionSpace)
+            view.__dict__.update(self.__dict__)
+            view.query_weights = self.index_weights  # block() reads these
+            view._index_view = view
+            self._index_view = view
+        return self._index_view
 
     # -- component parsing --
     @staticmethod
@@ -124,17 +142,18 @@ class SparseDenseFusionSpace(Space):
                 raise InvalidArgumentError("fusion objects have differing component counts")
         return n
 
-    def _weights(self, parsed, query_time: bool) -> list[float]:
-        n = self._n_comp(parsed)
-        w = self.query_weights if query_time else self.index_weights
-        if w is None:
-            return [1.0] * n
-        if len(w) < n:
-            raise InvalidArgumentError(
-                f"Too few {'query' if query_time else 'index'} weights: "
-                f"{len(w)} < {n} components"
-            )
-        return w[:n]
+    def _check_weights(self, n: int) -> None:
+        """Weight-count validation against the component count (host-side,
+        at encode time). Matches the reference: too FEW weights is an
+        error, extras are ignored (space_sparse_dense_fusion.cc only
+        indexes i < weights.size()); n == 0 (empty batch) checks nothing."""
+        if n == 0:
+            return
+        for label, w in (("index", self.index_weights), ("query", self.query_weights)):
+            if w is not None and len(w) < n:
+                raise InvalidArgumentError(
+                    f"Too few {label} weights: {len(w)} < {n} components"
+                )
 
     def _encode_components(self, parsed, n_pad: int, query: bool):
         """Returns ({key: array}, layout) with dense comps as matrices and
@@ -180,18 +199,34 @@ class SparseDenseFusionSpace(Space):
         data.extra["pad"] = jnp.asarray(pad)
         for k, v in arrays.items():
             data.extra[k] = jnp.asarray(v)
-        # Layout/weights are schema metadata, kept on the (jit-static)
-        # space instead of inside the traced pytrees.
-        self._layout = tuple(layout)
+        # _n_comp rejects mixed schemas (objects with differing component
+        # counts — reference CHECK_MSG(start1 == datalength))
+        self._check_weights(self._n_comp(parsed))
         return data
 
     def encode_queries(self, points):
         parsed = self._parse(points)
         arrays, layout = self._encode_components(parsed, len(parsed), query=True)
         enc = {f"q_{k}": jnp.asarray(v) for k, v in arrays.items()}
-        self._layout = tuple(layout)
-        self._qweights = tuple(self._weights(parsed, query_time=True))
+        self._check_weights(self._n_comp(parsed))
         return enc
+
+    @staticmethod
+    def _layout_of(keys) -> list[tuple]:
+        """Component layout derived from the encoded dict's OWN keys
+        ('d{c}' dense matrices, 'sc{c}'/'sv{c}' sparse CSR pairs, with or
+        without the query 'q_' prefix) — schema travels with the data."""
+        names = {k.removeprefix("q_") for k in keys}
+        layout: list[tuple] = []
+        c = 0
+        while f"d{c}" in names:  # dense components first (encode order)
+            layout.append(("dense", f"d{c}"))
+            c += 1
+        c = 0
+        while f"sc{c}" in names:
+            layout.append(("sparse", f"sc{c}", f"sv{c}"))
+            c += 1
+        return layout
 
     def slice_data(self, data, start, size) -> dict:
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, size, 0)
@@ -202,17 +237,25 @@ class SparseDenseFusionSpace(Space):
         return xc
 
     def corpus_dict(self, data) -> dict:
-        c = {"vecs": data.extra[self._layout[0][1]], "pad": data.extra["pad"]}
+        layout = self._layout_of(data.extra.keys())
+        c = {
+            "vecs": data.extra[layout[0][1]] if layout else data.extra["pad"],
+            "pad": data.extra["pad"],
+            "count": data.count,  # static pad mask in gather paths
+        }
         for k, v in data.extra.items():
             if k != "pad":
-                c[k] = v
+                c[k] = v  # includes row_mask when deletions installed one
         return c
 
     def block(self, qenc, xc, precision: str = "float32"):
-        layout = self._layout
-        weights = self._qweights
+        layout = self._layout_of(k for k in qenc if k.startswith("q_"))
+        weights = self.query_weights or [1.0] * len(layout)
         res = None
         for comp, w in zip(layout, weights):
+            # reference parity: compDistance skips any weight <= FLT_MIN
+            # (space_sparse_dense_fusion.cc:297), so zero/negative weights
+            # drop the component
             if w <= np.finfo(np.float32).tiny:
                 continue
             if comp[0] == "dense":

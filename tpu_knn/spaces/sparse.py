@@ -110,7 +110,8 @@ class SketchProxySpace:
         return self._post(s)
 
     def corpus_dict(self, data) -> dict:
-        return {"vecs": data.vecs, "pad": data.extra["pad"]}
+        # count: static pad masking in gather paths (no pad gather)
+        return {"vecs": data.vecs, "pad": data.extra["pad"], "count": data.count}
 
     def block(self, qenc, xc, precision: str = "float32"):
         from ..ops import distance as Dops
@@ -275,7 +276,10 @@ class SparseSpaceBase(Space):
             "cols": data.col,
             "len": data.length,
             "pad": data.extra["pad"],
+            "count": data.count,  # static pad mask in gather paths
         }
+        if "row_mask" in data.extra:
+            out["row_mask"] = data.extra["row_mask"]
         if "vocab_mark" in data.extra:
             out["vocab_mark"] = data.extra["vocab_mark"]
         return out

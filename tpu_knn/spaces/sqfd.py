@@ -147,12 +147,16 @@ class SqfdSpaceBase(Space):
         }
 
     def corpus_dict(self, data) -> dict:
-        return {
+        c = {
             "vecs": data.extra["w"],
             "c": data.extra["c"],
             "self": data.extra["self"],
             "pad": data.extra["pad"],
+            "count": data.count,  # static pad mask in gather paths
         }
+        if "row_mask" in data.extra:
+            c["row_mask"] = data.extra["row_mask"]
+        return c
 
     def block(self, qenc, xc, precision: str = "float32"):
         qw, qc = qenc["qw"], qenc["qc"]  # [Q, Cq], [Q, Cq, d]

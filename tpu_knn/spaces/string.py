@@ -68,7 +68,14 @@ class StringSpaceBase(Space):
         }
 
     def corpus_dict(self, data: StringDeviceData) -> dict:
-        return {"vecs": data.chars, "len": data.length, "pad": data.extra["pad"]}
+        # 'count' lets gather paths mask padding statically (ids >= count,
+        # no pad gather — ops/graph._row_pad); 'row_mask' (sw-graph
+        # deletions) overrides it when present
+        c = {"vecs": data.chars, "len": data.length, "pad": data.extra["pad"],
+             "count": data.count}
+        if "row_mask" in data.extra:
+            c["row_mask"] = data.extra["row_mask"]
+        return c
 
     def block(self, qenc, xc, precision: str = "float32") -> jax.Array:
         d = self._block_impl(qenc, xc)
