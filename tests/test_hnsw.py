@@ -236,3 +236,78 @@ def test_construction_state_lifetime(rng):
     sw.delete_batch([3, 7], strategy="neighbors_only")
     d, i = sw.knn_query_batch(x[:4], 3)
     assert np.asarray(i).shape == (4, 3)
+
+
+def test_delaunay_type_zero_naive_selection(rng):
+    """delaunay_type=0 = keep the M closest, NO pruning heuristic
+    (reference hnsw.cc:581-586); previously it mapped to the RNG-rule
+    relaxation — stronger pruning, the opposite of 'none'."""
+    from tpu_knn import Index, Params
+    from tpu_knn.eval.datasets import sift_like
+
+    x = sift_like(2048 + 64, 32, seed=7)
+    corpus, q = x[:2048], x[2048:]
+    ex = Index("l2", Params(dim=32), method="seq_search")
+    ex.add_dense_batch(corpus)
+    _, gold = ex.knn_query_batch(q, 10)
+
+    idx = Index("l2", Params(dim=32), method="hnsw")
+    idx.add_dense_batch(corpus)
+    idx.build_index(Params(M=8, efConstruction=50, waveSize=128, delaunay_type=0))
+    # naive selection fills ALL M forward slots whenever enough frozen
+    # candidates exist (the heuristic prunes below M); spot-check level 0
+    deg = np.asarray((np.asarray(idx.method.graph["level0"]) >= 0).sum(1))
+    assert deg[2048 // 2 :].mean() >= 8  # later points see plenty of candidates
+    idx.set_query_time_params(Params(efSearch=100))
+    d, i = idx.knn_query_batch(q, 10)
+    rec = np.mean([len(set(a[a >= 0]) & set(b)) / 10 for a, b in zip(np.asarray(i), gold)])
+    # naive selection navigates WORSE than the heuristic (that's why the
+    # heuristic exists) — this asserts a working graph, not parity recall
+    assert rec >= 0.6, rec
+
+
+def test_exact_pairs_without_exact_base(rng):
+    """exactPairs=1 must work with exactBase=0: the host-space encodings
+    are derived for the pair scoring (previously it silently fell back
+    to proxy pair scores)."""
+    from tpu_knn import Index, Params
+    from tpu_knn.core.dataset import DataKind
+    from tpu_knn.eval.datasets import sparse_like
+    import tpu_knn.methods.hnsw as H
+
+    pts = sparse_like(300, vocab=1000, nnz=12, n_clusters=6, seed=2)
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:256])
+    seen = {}
+    orig = H.make_wave_step
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    H.make_wave_step = spy
+    try:
+        idx.build_index(Params(M=4, efConstruction=10, waveSize=32,
+                               exactBase=0, exactPairs=1))
+    finally:
+        H.make_wave_step = orig
+    assert seen["exact_pairs"] is True
+    assert seen["exact_base"] is False
+    assert seen["exact_space"] is not None  # encodings were derived
+    d, i = idx.knn_query_batch(pts[:4], 3)
+    assert (np.asarray(i)[:, 0] == np.arange(1, 5)).all()
+
+
+def test_query_param_reset_restores_expand(rng):
+    from tpu_knn import Index, Params
+
+    x = rng.standard_normal((256, 16)).astype(np.float32)
+    idx = Index("l2", Params(dim=16), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=4, efConstruction=10, waveSize=32))
+    m = idx.method
+    default = m.expand
+    idx.set_query_time_params(Params(searchExpand=64, efSearch=50))
+    assert m.expand == 64
+    idx.set_query_time_params(None)
+    assert m.expand == default and m.ef_search == m.DEFAULT_EF_SEARCH

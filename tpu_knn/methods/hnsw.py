@@ -164,9 +164,10 @@ def make_wave_step(
     mcap: int,
     mates: int,
     expand: int,
-    exact_heur: bool,
+    selection: str,  # "none" (delaunay_type=0: keep closest), "heur", "rng"
     exact_space=None,
     exact_pairs: bool = False,
+    exact_base: bool = True,
 ):
     """Build the (unjitted) batched insertion wave step.
 
@@ -229,7 +230,7 @@ def make_wave_step(
             cand_i = jnp.concatenate([beam_i, mate_sel], axis=1)
             cand_d = jnp.concatenate([beam_d, mate_dd], axis=1)
             cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
-            if exact_space is not None and ecorpus is not None:
+            if exact_base and exact_space is not None and ecorpus is not None:
                 # hybrid refinement (sketch-proxy builds): the beam found
                 # the candidates with proxy scores; their base distances
                 # are recomputed EXACTLY in the host space so neighbor
@@ -241,22 +242,43 @@ def make_wave_step(
                 eqe = G.densify_queries(exact_space, eqe, ecorpus)
                 cand_d = G.score_rows(exact_space, eqe, ecorpus, cand_i)
                 cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
-            if exact_pairs and exact_space is not None and ecorpus is not None:
-                # exact pair distances for the selection heuristic: on
-                # near-tied data (true gaps below JL noise) proxy pair
-                # scores make the prune decisions random — measured 4k
-                # bag-of-words recall 0.92 -> matches the reference's
-                # 0.98 (ef=100) with exact construction scoring
-                pair_d = _score_pairs(
-                    exact_space, eqenc_all, n_total, ecorpus, cand_i, cand_i
-                )
+            if selection == "none":
+                # delaunay_type=0 (reference hnsw.cc:581-586): keep the M
+                # closest candidates, no pruning — and no pair scoring
+                valid = cand_d < INF
+                keep = valid & (jnp.cumsum(valid, axis=1) <= m)
             else:
-                pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
-            keep = G.select_neighbors_heuristic(cand_d, pair_d, m, exact=exact_heur)
+                if exact_pairs and exact_space is not None and ecorpus is not None:
+                    # exact pair distances for the selection heuristic: on
+                    # near-tied data (true gaps below JL noise) proxy pair
+                    # scores make the prune decisions random — measured 4k
+                    # bag-of-words recall 0.92 -> matches the reference's
+                    # 0.98 (ef=100) with exact construction scoring
+                    pair_d = _score_pairs(
+                        exact_space, eqenc_all, n_total, ecorpus, cand_i, cand_i
+                    )
+                else:
+                    pair_d = _score_pairs(space, qenc_all, n_total, corpus, cand_i, cand_i)
+                keep = G.select_neighbors_heuristic(
+                    cand_d, pair_d, m, exact=selection != "rng"
+                )
             sel = G.pack_selected(cand_i, keep, m)
             connect = (wl >= l) & (wl >= 0)
             sel = jnp.where(connect[:, None], sel, NEG1)
-            return sel, cand_d[:, 0], cand_i[:, 0]
+            # entry hand-off for the next level: the closest FROZEN beam
+            # node only (the reference descends through inserted nodes,
+            # hnsw.cc:593-599 "memorizing the closest"). A wave-mate may
+            # score closer, but its lower-level adjacency rows are not
+            # scattered yet — handing off to it would strand the next
+            # level's beam on an empty row and degrade this point's
+            # lower-level links to wave-mates only. beam_d/beam_i are
+            # already frozen-masked (INF/-1) above. NB: with the hybrid
+            # exact refinement, beam_d stays on the PROXY scale, matching
+            # cur_d across levels.
+            bpos = jnp.argmin(beam_d, axis=1)
+            best_d = jnp.take_along_axis(beam_d, bpos[:, None], 1)[:, 0]
+            best_i = jnp.take_along_axis(beam_i, bpos[:, None], 1)[:, 0]
+            return sel, best_d, best_i
 
         def scatter_forward(adj, cap, sel, wave_ids, connect):
             fwd = (
@@ -310,10 +332,18 @@ def make_wave_step(
             # append path: valid entries first, order preserved
             appended = G.pack_selected(cand, cand >= 0, cap)
 
-            # shrink path: heuristic over all candidates of the row owner
+            # shrink path over all candidates of the row owner: the
+            # heuristic, or (delaunay_type=0) drop-the-farthest semantics
+            # = keep the cap closest (reference hnsw.h:301-312)
             sd, si = jax.lax.sort((base_d, cand), num_keys=1)
-            pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
-            keep = G.select_neighbors_heuristic(sd, pair_d, cap, exact=exact_heur)
+            if selection == "none":
+                validr = sd < INF
+                keep = validr & (jnp.cumsum(validr, axis=1) <= cap)
+            else:
+                pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
+                keep = G.select_neighbors_heuristic(
+                    sd, pair_d, cap, exact=selection != "rng"
+                )
             shrunk = G.pack_selected(si, keep, cap)
 
             newrow = jnp.where(overflow[:, None], shrunk, appended)
@@ -429,6 +459,7 @@ class Hnsw(Method):
         self.wave = pm.get("waveSize", 256, int)
         self.wave_mates = pm.get("waveMates", 8, int)
         self.expand = pm.get("searchExpand", 4, int)
+        self._expand_default = self.expand  # restored by reset (None) below
         # construction beams run at efConstruction (~100-200): widening the
         # per-iteration frontier cuts beam iterations ~3x at equal recall
         # (measured: build 89s -> 33s at 100k, recall unchanged)
@@ -492,7 +523,7 @@ class Hnsw(Method):
             # ResetQueryTimeParams semantics (reference: index.h / hnsw.cc):
             # restore method defaults instead of keeping previous values
             self.ef_search = self.DEFAULT_EF_SEARCH
-            self._expand_user = False
+            self.expand = self._expand_default
             super().set_query_time_params(None)
             return
         pm = ParamManager(Params.of(params))
@@ -500,7 +531,6 @@ class Hnsw(Method):
         pm.get("algoType", "hybrid", str)  # parity no-op: single search algo
         if pm.has("searchExpand"):
             self.expand = pm.get("searchExpand", self.expand, int)
-            self._expand_user = True
         pm.check_unused()
         super().set_query_time_params(params)
 
@@ -575,7 +605,8 @@ class Hnsw(Method):
         ]
         return n
 
-    def _encode_store(self, store: DataStore, n: int) -> None:
+    def _encode_store(self, store: DataStore, n: int,
+                      skip_construction: bool = False) -> None:
         """Encode + level-sorted reorder of the corpus, and all corpus
         points as query encodings (used to score point-point pairs
         during construction).
@@ -609,8 +640,10 @@ class Hnsw(Method):
             pspace, pdata, _ = self._proxy
             self._graph_space, self._graph_data = pspace, pdata
             # corpus points as construction queries ARE the sketches
-            self._qenc_all = {"q": pdata.vecs[:n]}
-            if self.exact_base:
+            self._qenc_all = None if skip_construction else {"q": pdata.vecs[:n]}
+            # exactPairs also needs the host-space encodings — without
+            # them it would silently fall back to proxy pair scores
+            if not skip_construction and (self.exact_base or self.exact_pairs):
                 self._exact_qenc_all = self.space.encode_queries(
                     self.space.store_as_query_points(store)[self.order]
                 )
@@ -620,8 +653,14 @@ class Hnsw(Method):
             # construction_space() is the space itself
             self._graph_space = self.space.construction_space()
             self._graph_data = self.data
-            self._qenc_all = self.space.encode_queries(
-                self.space.store_as_query_points(store)[self.order]
+            # a restore with the graph already built never runs waves:
+            # skip encoding a second full corpus copy it would drop
+            self._qenc_all = (
+                None
+                if skip_construction
+                else self.space.encode_queries(
+                    self.space.store_as_query_points(store)[self.order]
+                )
             )
         # row count of the per-node query encodings (unpadded)
         self._n_total = n
@@ -712,9 +751,10 @@ class Hnsw(Method):
                 mcap=self.maxM,
                 mates=min(self.wave_mates, w),
                 expand=self.construction_expand,
-                exact_heur=self.delaunay_type != 0,
+                selection="none" if self.delaunay_type == 0 else "heur",
                 exact_space=self.space if self._exact_qenc_all is not None else None,
                 exact_pairs=bool(self.exact_pairs),
+                exact_base=bool(self.exact_base),
             )
         )
 
@@ -856,9 +896,11 @@ class Hnsw(Method):
             # (construction-only; minutes of device work at 1M)
             keep_dsk, self.sketch_dim = self.sketch_dim, 0
             try:
-                self._encode_store(store, n)
+                self._encode_store(store, n, skip_construction=True)
             finally:
                 self.sketch_dim = keep_dsk
+        elif not self.KEEP_WAVE_STATE:
+            self._encode_store(store, n, skip_construction=True)
         else:
             self._encode_store(store, n)
         self._drop_wave_state()

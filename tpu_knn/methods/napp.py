@@ -156,7 +156,9 @@ class Napp(Method):
         p = min(self.num_pivot, n)
         if self.pivot_file:
             piv = np.loadtxt(self.pivot_file, dtype=np.int64).reshape(-1)[:p]
-            if piv.max(initial=0) >= n:
+            if piv.size and (piv.min() < 0 or piv.max() >= n):
+                # negatives would clip to row 0 with an INF pad — a
+                # silently inert pivot — so reject them like overflows
                 raise InvalidArgumentError("pivotFile contains out-of-range positions")
         else:
             piv = rng.choice(n, size=p, replace=False)

@@ -95,21 +95,9 @@ def _vptree_knn(
     piv_d, piv_pos = T.smallest_k(dpiv, min(k, n_internal), pivot_pos)
     r = jnp.minimum(init_d[:, -1], piv_d[:, -1] if k <= n_internal else INF)
 
-    # phase 3: visit masks level by level (pruner rule, searchoracle.h)
-    aL, eL, aR, eR = pruner[0], pruner[1], pruner[2], pruner[3]
-    visit = jnp.ones((b, 1), bool)  # nodes at current level
-    for lvl in range(depth):
-        lo = (1 << lvl) - 1  # heap index offset of this level (0-based arrays)
-        width = 1 << lvl
-        dq = jax.lax.dynamic_slice_in_dim(dpiv, lo, width, 1)  # [Q, width]
-        med = jax.lax.dynamic_slice_in_dim(medians, lo, width, 0)[None, :]
-        diffL = jnp.maximum(med - dq, 0.0)
-        diffR = jnp.maximum(dq - med, 0.0)
-        left_only = (dq <= med) & (r[:, None] < aL * diffL**eL)
-        right_only = (dq >= med) & (r[:, None] < aR * diffR**eR) & ~left_only
-        go_left = visit & ~right_only
-        go_right = visit & ~left_only
-        visit = jnp.stack([go_left, go_right], axis=2).reshape(b, 2 * width)
+    # phase 3: visit masks level by level (pruner rule, searchoracle.h) —
+    # shared with the range paths
+    visit = _vptree_visit_masks(dpiv, medians, r, pruner, depth)
 
     # maxLeavesToVisit cap in left-to-right order (vptree.cc MaxLeavesToVisit)
     if max_leaves < n_leaves:
@@ -452,9 +440,13 @@ class VPTree(Method):
         t = self._tree
         if t["pivot_pos"].shape[0] == 0:
             # degenerate: single leaf = exact scan
-            d = _score_members(self.space, qenc, self.data, t["leaf_members"][0])
-            dd, pos = T.smallest_k(d, min(k, d.shape[1]), t["leaf_members"][0])
+            members = t["leaf_members"][0]
+            d = _score_members(self.space, qenc, self.data, members)
+            dd, pos = T.smallest_k(d, min(k, d.shape[1]), members)
             ids = jnp.where(pos >= 0, self.data.ids[jnp.clip(pos, 0, self.data.ids.shape[0] - 1)], -1)
+            # every member is scored per query (metrics parity with the
+            # range() degenerate branch)
+            self._add_dist_comps(d.shape[0] * jnp.sum(members >= 0))
             return self._finalize_knn(*_pad_k(dd, ids, k))
         ml = min(self.max_leaves, t["leaf_members"].shape[0])
         d, ids, nd = _vptree_knn(

@@ -301,9 +301,10 @@ class ShardedHnsw:
             mcap=cfg.maxM,
             mates=min(cfg.wave_mates, w),
             expand=cfg.construction_expand,
-            exact_heur=cfg.delaunay_type != 0,
+            selection="none" if cfg.delaunay_type == 0 else "heur",
             exact_space=self.space if exact else None,
             exact_pairs=exact and bool(cfg.exact_pairs),
+            exact_base=bool(cfg.exact_base),
         )
 
         n_upper = len(st["upper"])
