@@ -262,3 +262,38 @@ def test_sharded_sparse_shared_proxy(rng, monkeypatch):
     d, i = sh.knn(q, 5)
     rec = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(np.asarray(i), gi)])
     assert rec >= 0.7, rec
+
+
+def test_sharded_exact_k_exceeds_shard_rows(rng):
+    """k <= corpus size but k > rows-per-shard must work: the local
+    top-k clamps to the shard width and pads before the merge
+    (review-confirmed crash, round 2)."""
+    mesh = make_mesh(8)
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    idx = Index("l2", Params(dim=16), method="seq_search", mesh=mesh)
+    idx.add_dense_batch(x)
+    idx.build_index()
+    d, i = idx.knn_query_batch(x[:4], 32)  # 128 padded rows -> 16/shard
+    assert i.shape == (4, 32)
+    assert (i[:, 0] == np.arange(4)).all()
+    ex = Index("l2", Params(dim=16), method="seq_search")
+    ex.add_dense_batch(x)
+    gd, gi = ex.knn_query_batch(x[:4], 32)
+    np.testing.assert_array_equal(i, gi)
+    np.testing.assert_allclose(d, gd, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_hnsw_query_param_validation(rng):
+    mesh = make_mesh(8)
+    x = rng.standard_normal((256, 16)).astype(np.float32)
+    idx = Index("l2", Params(dim=16), method="hnsw", mesh=mesh)
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=4, efConstruction=10, waveSize=32))
+    with pytest.raises(Exception, match="[Uu]nknown|unused"):
+        idx.set_query_time_params(Params(efSaerch=200))  # typo must raise
+    idx.set_query_time_params(Params(efSearch=40))
+    assert idx.method.ef_search == 40
+    # mesh queries report distance computations (reference query.h:33)
+    idx.method.dist_comps = 0
+    idx.knn_query_batch(x[:4], 3)
+    assert idx.method.dist_comps > 0

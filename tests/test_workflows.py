@@ -139,3 +139,19 @@ def test_9_thread_pool_and_metadata():
     assert idx.get_data_type() is DataKind.DENSE
     assert idx.get_dist_type() is DistKind.FLOAT
     assert idx.data_qty() == 0
+
+
+def test_load_data_false_raises(tmp_path, rng):
+    """load_data=False produced an index that silently answered nothing
+    (the graph references corpus rows; methods re-encode the store on
+    restore) — it must raise instead (review-confirmed, round 2)."""
+    import pytest
+
+    x = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = Index("l2", Params(dim=8), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=4, efConstruction=10, waveSize=16))
+    p = str(tmp_path / "ix")
+    idx.save(p)
+    with pytest.raises(Exception, match="load_data"):
+        Index.load(p, load_data=False)

@@ -128,8 +128,31 @@ def main(argv=None) -> int:
     out = open(args.outFile, "w") if args.outFile else sys.stdout
 
     space = create_space(args.spaceType, _parse_kv(args.spaceParams))
-    store = _load_store(space, args.dataFile, args.maxNumData)
-    log("INFO", f"loaded {len(store)} data points from {args.dataFile}")
+    from .core.dataset import DistKind
+    from .core.errors import InvalidArgumentError
+
+    if DistKind(args.distType) is not space.dist_kind:
+        raise InvalidArgumentError(
+            f"--distType {args.distType} does not match space "
+            f"{args.spaceType!r} ({space.dist_kind.value} distances)"
+        )
+    if (args.saveIndex or args.loadIndex) and not args.queryFile:
+        raise InvalidArgumentError(
+            "--saveIndex/--loadIndex require --queryFile: bootstrap test "
+            "splits build a different index per split"
+        )
+    loaded_method = None
+    if args.loadIndex:
+        from .api import Index
+
+        lidx = Index.load(args.loadIndex)
+        store = lidx.store
+        space = lidx.space
+        loaded_method = lidx.method
+        log("INFO", f"loaded index from {args.loadIndex} ({len(store)} points)")
+    else:
+        store = _load_store(space, args.dataFile, args.maxNumData)
+        log("INFO", f"loaded {len(store)} data points from {args.dataFile}")
     qsets = [q for q in (args.queryTimeParams or [None])]
     qparams = [_parse_kv(q) if q else None for q in qsets]
     ks = [int(v) for v in args.knn.split(",") if v.strip()]
@@ -137,6 +160,22 @@ def main(argv=None) -> int:
 
     def method_factory(sp):
         return create_method(args.method, sp, _parse_kv(args.createIndex))
+
+    def _save_built(method, sub) -> None:
+        """Persist through the two-artifact format Index.load reads."""
+        from .api import Index
+
+        sidx = Index(
+            args.spaceType, _parse_kv(args.spaceParams), args.method,
+            store.kind, args.distType,
+        )
+        sidx.space = space  # the exact instance the method was built with
+        sidx.store = sub
+        sidx.method = method
+        sidx._index_params = _parse_kv(args.createIndex)
+        sidx.built = True
+        sidx.save(args.saveIndex)
+        log("INFO", f"saved index to {args.saveIndex}")
 
     if args.queryFile:
         qstore = _load_store(space, args.queryFile, args.maxNumQuery)
@@ -158,12 +197,13 @@ def main(argv=None) -> int:
 
                 sub = _subset_store(store, split[0])
                 queries = _query_points(store, split[1])
-            method = method_factory(space)
-            method.create_index(sub)
-            if args.saveIndex:
-                from .api import Index  # save via raw state arrays
-
-                np.savez(args.saveIndex + f".k{k}.npz", **method.state_arrays())
+            if loaded_method is not None:
+                method = loaded_method  # already built on the full store
+            else:
+                method = method_factory(space)
+                method.create_index(sub)
+                if args.saveIndex:
+                    _save_built(method, sub)
             ex = Experiments(space, sub, queries, k)
             for i, row in enumerate(ex.run(method, qparams)):
                 metas.setdefault(i, MetaAnalysis()).add(row)
@@ -198,8 +238,13 @@ def main(argv=None) -> int:
 
                 sub = _subset_store(store, split[0])
                 queries = _query_points(store, split[1])
-            method = method_factory(space)
-            method.create_index(sub)
+            if loaded_method is not None:
+                method = loaded_method
+            else:
+                method = method_factory(space)
+                method.create_index(sub)
+                if args.saveIndex and not ks:
+                    _save_built(method, sub)  # kNN loop didn't save one
             ex = Experiments(space, sub, queries)
             for r in radii:
                 for i, row in enumerate(ex.run_range(method, r, qparams)):

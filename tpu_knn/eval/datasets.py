@@ -116,6 +116,12 @@ def sparse_like(
         out[:, :, 1] = vals
         return out
 
+    # ids ride in a float32 cache slab: above 2^24 distinct integers stop
+    # being representable and distinct terms would silently merge
+    if vocab > 1 << 24:
+        raise ValueError(f"sparse_like vocab {vocab} exceeds the f32-exact "
+                         f"integer range (2^24); shrink or restructure the cache")
+
     packed = _cached(f"sparse_like_{n}x{vocab}x{nnz}_s{seed}", make)
     pts = []
     for row in packed:

@@ -36,9 +36,12 @@ def compute_intrinsic_dimensionality(
     data = space.encode_dataset(sub)
     d = np.asarray(space.block(qenc, space.slice_data(data, 0, data.ids.shape[0])))
     d = d[:, : len(r2)].reshape(-1)
-    d = d[np.isfinite(d)]
+    # NaN check BEFORE the finite filter (which would silently drop the
+    # very values this reference-parity FATAL exists to catch,
+    # report_intr_dim.h); +inf pad terms are legitimate and dropped
     if np.isnan(d).any():
         raise RuntimeError("!!! Bug: a distance returned NAN!")
+    d = d[np.isfinite(d)]
     mean = float(np.mean(d))
     var = float(np.var(d))
     return {

@@ -129,12 +129,22 @@ def load_index(path: str, load_data: bool = True):
         mesh=header.get("mesh_devices", 0) or None,
     )
     index._index_params = Params(header["index_params"])
-    if load_data:
-        try:
-            dat = np.load(path + ".dat.npz")
-        except OSError as e:
-            raise DataIOError(f"failed to load index data from {path}: {e}")
-        index.store = _store_from_arrays(index.data_type, dat)
+    if not load_data:
+        # every method re-encodes the store on restore (the graph holds
+        # corpus ROW indices, not vectors) — restoring against an empty
+        # store would "load" an index that silently answers nothing
+        from ..core.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            "load_data=False is unsupported: the index state references "
+            "corpus rows and methods re-encode the store on restore "
+            "(two-artifact model, .idx.npz + .dat.npz)"
+        )
+    try:
+        dat = np.load(path + ".dat.npz")
+    except OSError as e:
+        raise DataIOError(f"failed to load index data from {path}: {e}")
+    index.store = _store_from_arrays(index.data_type, dat)
     state = {
         k[len("state_") :]: idx_npz[k] for k in idx_npz.files if k.startswith("state_")
     }

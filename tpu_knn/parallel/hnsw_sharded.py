@@ -74,13 +74,17 @@ def _stack_fill(key: str):
     return 0
 
 
-def _subset_store(store: DataStore, lo: int, hi: int) -> DataStore:
+def _subset_store(store: DataStore, lo: int, hi: int, dense_mat=None) -> DataStore:
+    """``dense_mat``: pass ``store.dense_matrix()`` hoisted out of a
+    per-shard loop — dense_matrix re-stacks the WHOLE corpus on every
+    call (O(n*S) host copies at build/restore otherwise)."""
     sub = DataStore(store.kind)
     ids = store.ids[lo:hi]
     if store.kind in (DataKind.DENSE, DataKind.UINT8):
-        mat = store.dense_matrix()[lo:hi]
+        mat = (dense_mat if dense_mat is not None else store.dense_matrix())[lo:hi]
         if store.kind is DataKind.DENSE:
-            sub.add_dense_batch(mat, ids)
+            labels = store.labels[lo:hi] if store.labels else None
+            sub.add_dense_batch(mat, ids, labels=labels)
         else:
             sub.add_uint8_batch(mat, ids)
     elif store.kind is DataKind.SPARSE:
@@ -182,6 +186,14 @@ class ShardedHnsw:
         else:
             self._build_sequential(store, bounds)
 
+    @staticmethod
+    def _dense_mat(store: DataStore):
+        """dense_matrix() hoisted out of the per-shard loops (it
+        re-stacks the whole corpus per call)."""
+        if store.kind in (DataKind.DENSE, DataKind.UINT8) and len(store):
+            return store.dense_matrix()
+        return None
+
     def _global_vocab_floor(self, store: DataStore) -> int:
         """Max term id over the WHOLE corpus, so per-shard sparse encodes
         all pad to one vocabulary width (ids are sorted per point, so the
@@ -204,11 +216,12 @@ class ShardedHnsw:
 
     def _build_sequential(self, store: DataStore, bounds) -> None:
         vf = self._global_vocab_floor(store)
+        mat = self._dense_mat(store)
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
             self._configure_shard(h, vf)
-            h.create_index(_subset_store(store, lo, hi))
+            h.create_index(_subset_store(store, lo, hi, mat))
             shards.append(h)
         self._stack(shards)
 
@@ -224,11 +237,12 @@ class ShardedHnsw:
         path runs the same wave step one shard at a time, so the resulting
         graphs are identical distribution-wise (per-shard seeds match)."""
         vf = self._global_vocab_floor(store)
+        mat = self._dense_mat(store)
         shards: list[Hnsw] = []
         for si, (lo, hi) in enumerate(bounds):
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
             self._configure_shard(h, vf)
-            h._prepare(_subset_store(store, lo, hi))
+            h._prepare(_subset_store(store, lo, hi, mat))
             shards.append(h)
         self._stack(shards)  # stacks corpus/ids + the (empty) level0/upper
         self._run_stacked_waves(shards)
@@ -515,9 +529,10 @@ class ShardedHnsw:
                 f"sharded index was saved with {saved} shards; current mesh has {s}"
             )
         bounds = self._shard_bounds(len(store), s)
+        mat = self._dense_mat(store)
         shards = []
         for si, (lo, hi) in enumerate(bounds):
-            sub = _subset_store(store, lo, hi)
+            sub = _subset_store(store, lo, hi, mat)
             h = Hnsw(self.space, Params.of(self.params, seed=self._seed(si)))
             # the graph arrays are already built; the sketch proxy is a
             # construction-only artifact (queries traverse the host space),
@@ -541,26 +556,40 @@ class ShardedHnsw:
 
     # ---------------- search ----------------
 
+    #: method default efSearch (mirrors methods/hnsw.py)
+    DEFAULT_EF_SEARCH = 20
+    DEFAULT_EXPAND = 4
+
     def set_query_time_params(self, params: Params | None) -> None:
+        # mirror the single-chip Hnsw's validation: unknown keys and
+        # ef/efSearch conflicts raise instead of silently running at
+        # stale defaults
+        from ..core.params import ParamManager
+
         if params is None:  # reset to defaults (Index passes None)
-            self.ef_search = 20
+            self.ef_search = self.DEFAULT_EF_SEARCH
+            self.expand = self.DEFAULT_EXPAND
             return
-        pm_ef = Params.of(params)
-        if pm_ef.has("ef"):
-            self.ef_search = int(pm_ef.get("ef"))
-        if pm_ef.has("efSearch"):
-            self.ef_search = int(pm_ef.get("efSearch"))
+        pm = ParamManager(Params.of(params))
+        self.ef_search = pm.get_synonym(["ef", "efSearch"], self.ef_search, int)
+        pm.get("algoType", "hybrid", str)  # parity no-op
+        if pm.has("searchExpand"):
+            self.expand = pm.get("searchExpand", self.expand, int)
+        pm.check_unused()
 
     def knn(self, points, k: int):
         qenc = self.space.encode_queries(points)
         ef = max(self.ef_search, k)
         st = self._stacked
-        d, ids = _sharded_search(
+        d, ids, nd = _sharded_search(
             self.space, qenc, st["corpus"], st["ids"],
             st["level0"], st["upper"], ef, k, self.expand, self.mesh, self.axis,
         )
         d = np.asarray(d)
         ids = np.asarray(ids)
+        # candidate scorings across ALL shards (reference dist-comp
+        # counter, query.h:33); the np.asarray above already synced
+        self.dist_comps += int(nd)
         bad = ~np.isfinite(d) | (d >= 1e29)
         return np.where(bad, np.inf, d), np.where(bad, -1, ids)
 
@@ -581,12 +610,13 @@ def _sharded_search(space, qenc, corpus_st, ids, level0, upper, ef, k, expand,
         cur_d = G.score_rows(space, qenc_l, corpus, cur[:, None])[:, 0]
         for adj in reversed(upper):
             cur, cur_d = G.greedy_descent(space, qenc_l, corpus, adj, None, cur, cur_d)
-        beam_d, beam_i, _ = G.beam_search(
+        beam_d, beam_i, nd = G.beam_search(
             space, qenc_l, corpus, level0, None, cur, ef=ef, expand=expand
         )
         d, pos = beam_d[:, :k], beam_i[:, :k]
         out_ids = jnp.where(pos >= 0, ids_one[jnp.clip(pos, 0, ids_one.shape[0] - 1)], -1)
-        return merge_sharded_topk(d, out_ids, k, axis)
+        md, mi = merge_sharded_topk(d, out_ids, k, axis)
+        return md, mi, jax.lax.psum(nd, axis)
 
     specs = (
         jax.tree_util.tree_map(lambda _: P(), qenc),
@@ -596,6 +626,7 @@ def _sharded_search(space, qenc, corpus_st, ids, level0, upper, ef, k, expand,
         tuple(P(axis) for _ in upper),
     )
     f = jax.shard_map(
-        local, mesh=mesh, in_specs=specs, out_specs=(P(), P()), check_vma=False
+        local, mesh=mesh, in_specs=specs, out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     return f(qenc, corpus_st, ids, level0, upper)

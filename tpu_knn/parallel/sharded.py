@@ -33,11 +33,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _local_exact_knn(space, qenc, xc_local, ids_local, k: int, precision: str):
-    """Top-k over one local corpus block (already in VMEM-friendly form)."""
+    """Top-k over one local corpus block (already in VMEM-friendly form).
+    A shard may hold FEWER than k rows (k <= corpus size is legitimate
+    while k > n/S): clamp the local top-k and pad to k with inf/-1 so
+    the cross-shard merge sees uniform widths."""
     d = space.block(qenc, xc_local, precision)  # [Q, N_local]
-    dk, pos = T.smallest_k(d, k)
+    kk = min(k, d.shape[1])
+    dk, pos = T.smallest_k(d, kk)
     ids = jnp.where(pos >= 0, ids_local[jnp.clip(pos, 0, ids_local.shape[0] - 1)], -1)
     ids = jnp.where(jnp.isinf(dk), -1, ids)
+    if kk < k:
+        dk = jnp.pad(dk, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
     return dk, ids
 
 
@@ -68,6 +75,17 @@ def sharded_exact_knn(
     if "term" not in corpus and getattr(data, "row_term", None) is not None:
         corpus["term"] = data.row_term
 
+    return _sharded_exact_jit(
+        space, qenc, corpus, data.ids, k, mesh, precision, axis
+    )
+
+
+@partial(jax.jit, static_argnames=("space", "k", "mesh", "precision", "axis"))
+def _sharded_exact_jit(space, qenc, corpus, ids, k, mesh, precision, axis):
+    """Jitted so repeat query batches reuse the compiled program (a bare
+    shard_map closure re-traces per call — ~minutes per trace at 1M over
+    the dev tunnel; same pattern as hnsw_sharded._sharded_search)."""
+
     def local(qenc_l, corpus_l, ids_l):
         xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}
         if corpus_l.get("term") is not None:
@@ -75,8 +93,8 @@ def sharded_exact_knn(
         for key, arr in corpus_l.items():
             if key not in ("vecs", "pad", "term"):
                 xc[key] = arr
-        dk, ids = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
-        return merge_sharded_topk(dk, ids, k, axis)
+        dk, ids_k = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
+        return merge_sharded_topk(dk, ids_k, k, axis)
 
     f = jax.shard_map(
         local,
@@ -92,7 +110,7 @@ def sharded_exact_knn(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return f(qenc, corpus, data.ids)
+    return f(qenc, corpus, ids)
 
 
 class DistributedSeqSearch:
@@ -215,6 +233,12 @@ def sharded_exact_knn_hier(
     corpus["pad"] = data.extra["pad"]
     if "term" not in corpus and getattr(data, "row_term", None) is not None:
         corpus["term"] = data.row_term
+    return _sharded_exact_hier_jit(space, qenc, corpus, data.ids, k, mesh, precision)
+
+
+@partial(jax.jit, static_argnames=("space", "k", "mesh", "precision"))
+def _sharded_exact_hier_jit(space, qenc, corpus, ids, k, mesh, precision):
+    from .mesh import DCN_AXIS, ICI_AXIS
 
     def local(qenc_l, corpus_l, ids_l):
         xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}
@@ -223,8 +247,8 @@ def sharded_exact_knn_hier(
         for key, arr in corpus_l.items():
             if key not in ("vecs", "pad", "term"):
                 xc[key] = arr
-        dk, ids = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
-        d1, i1 = merge_sharded_topk(dk, ids, k, ICI_AXIS)  # intra-slice
+        dk, ids_k = _local_exact_knn(space, qenc_l, xc, ids_l, k, precision)
+        d1, i1 = merge_sharded_topk(dk, ids_k, k, ICI_AXIS)  # intra-slice
         return merge_sharded_topk(d1, i1, k, DCN_AXIS)  # cross-host: [Q,k] only
 
     both = (DCN_AXIS, ICI_AXIS)
@@ -239,4 +263,4 @@ def sharded_exact_knn_hier(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return f(qenc, corpus, data.ids)
+    return f(qenc, corpus, ids)
