@@ -81,6 +81,32 @@ def main():
             except Exception as e:
                 emit(kind=f"xla_row{red}_{prec}", err=str(e)[-300:])
 
+    # TERM-FOLDING probe (the working model says the VPU epilogue —
+    # scale + two term adds + group-min — binds at ~2.5us/tile): fold
+    # scale into q and xt into an extra contraction column, so the
+    # epilogue is (two zero adds +) the min tree only; qt would be added
+    # post-min in a production kernel (1 op per 128 outputs). d=129 pads
+    # to 136 for sublane alignment (+6% MXU work). If this wins big, the
+    # remaining epilogue is the min tree itself.
+    zeros_q = jnp.zeros_like(qt)
+    zeros_x = jnp.zeros_like(xt)
+    qf = jnp.concatenate(
+        [-2.0 * q, jnp.ones((Q, 1), jnp.float32), jnp.zeros((Q, 7), jnp.float32)], 1
+    )
+    xf = jnp.concatenate(
+        [x, xt[:, None], jnp.zeros((N, 7), jnp.float32)], 1
+    )
+    for prec in ("float32", "bfloat16"):
+        try:
+            fn = lambda: PS.fused_groupmin(
+                qf, xf, zeros_q, zeros_x, 1.0, tq=256, tc=2048, precision=prec
+            )
+            dt = timeit(fn)
+            emit(kind="fused_folded", prec=prec, ms=round(dt * 1e3, 2),
+                 tfs=round(flops / dt / 1e12, 1))
+        except Exception as e:
+            emit(kind="fused_folded", prec=prec, err=str(e)[-300:])
+
     # contraction-depth probe: same kernel at d=256 (2x FLOPs). If the
     # K=128 contraction depth binds the MXU pipeline (weight-tile swap
     # every pass), time grows by LESS than 2x and TF/s rises.

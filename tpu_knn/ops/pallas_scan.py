@@ -153,9 +153,12 @@ def fused_groupmin(
     # UNINITIALIZED (garbage neighbors, no error). Callers pad
     # (methods/seq_search.py buckets query batches; corpora pad to the
     # chunk multiple) — refuse anything else.
-    if qn % tq or n % tc or n % GROUP or d % 128:
+    # d only needs sublane alignment (the BlockSpecs take full-width
+    # [*, d] tiles; d is not in the grid math) — 128-multiples are best
+    # for MXU efficiency but e.g. d=136 (term-folded inputs) is legal
+    if qn % tq or n % tc or n % GROUP or d % 8:
         raise ValueError(
-            f"fused_groupmin needs qn%tq==0, n%tc==0, n%{GROUP}==0, d%128==0; "
+            f"fused_groupmin needs qn%tq==0, n%tc==0, n%{GROUP}==0, d%8==0; "
             f"got qn={qn} tq={tq} n={n} tc={tc} d={d}"
         )
     # corpus tile OUTER, query tile INNER (the grid's last axis is the
