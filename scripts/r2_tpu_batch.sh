@@ -7,6 +7,7 @@
 # sparse scan A/B, 1M tree methods, 1M int8 nbr-store.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   local name=$1 tmo=$2; shift 2
