@@ -1,0 +1,177 @@
+"""Resume scripts/r2_groupmin_layout.py after a timeout: re-reads
+/tmp/r2_groupmin.jsonl and measures only the configs that have no
+successful row yet (same keys, same log file). Safe to run repeatedly;
+exits immediately when nothing is missing.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+LOG = "/tmp/r2_groupmin.jsonl"
+N, D, Q = 1_000_000, 128, 2048
+REPS = 10
+
+
+def done_keys():
+    keys = set()
+    if not os.path.exists(LOG):
+        return keys
+    with open(LOG) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if "err" in row:
+                continue  # failed configs get retried
+            keys.add(
+                (
+                    row.get("kind"),
+                    row.get("layout"),
+                    row.get("prec"),
+                    row.get("tq"),
+                )
+            )
+    return keys
+
+
+def emit(**kw):
+    with open(LOG, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    have = done_keys()
+
+    def missing(kind, layout=None, prec=None, tq=None):
+        return (kind, layout, prec, tq) not in have
+
+    todo_xla = [
+        (p, r) for p in ("f32", "bf16") for r in ("min", "sum")
+        if missing(f"xla_row{r}_{p}")
+    ]
+    todo_folded = [p for p in ("float32", "bfloat16") if missing("fused_folded", prec=p)]
+    todo_d256 = [p for p in ("float32", "bfloat16") if missing("fused_d256", prec=p)]
+    todo_fused = [
+        (lay, p, tq)
+        for lay in ("q", "x")
+        for p in ("float32", "high", "bfloat16")
+        for tq in (256, 512)
+        if missing("fused", lay, p, tq)
+    ]
+    if not (todo_xla or todo_folded or todo_d256 or todo_fused):
+        print("nothing missing")
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    import tpu_knn.ops.pallas_scan as PS
+    from tpu_knn.eval.datasets import sift_like
+
+    pts = sift_like(N + Q, D, seed=0)
+    x = jnp.asarray(pts[:N])
+    q = jnp.asarray(pts[N : N + Q])
+    qt = jnp.sum(q * q, axis=1)
+    xt = jnp.sum(x * x, axis=1)
+    sync = lambda a: float(jnp.sum(a))
+
+    def timeit(fn):
+        sync(fn())
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(REPS)]
+        sync(outs[-1])
+        return (time.perf_counter() - t0) / REPS
+
+    flops = 2.0 * N * D * Q
+
+    def xla_rowred(prec, red):
+        xb = x.astype(jnp.bfloat16) if prec == "bf16" else x
+        qb = q.astype(jnp.bfloat16) if prec == "bf16" else q
+        p = (jax.lax.Precision.DEFAULT if prec == "bf16"
+             else jax.lax.Precision.HIGHEST)
+
+        @jax.jit
+        def f():
+            g = jax.lax.dot_general(
+                qb, xb, (((1,), (1,)), ((), ())),
+                precision=p, preferred_element_type=jnp.float32,
+            )
+            z = -2.0 * g + qt[:, None] + xt[None, :]
+            return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
+
+        return f
+
+    for prec, red in todo_xla:
+        try:
+            dt = timeit(xla_rowred(prec, red))
+            emit(kind=f"xla_row{red}_{prec}",
+                 ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
+        except Exception as e:
+            emit(kind=f"xla_row{red}_{prec}", err=str(e)[-300:])
+
+    if todo_folded:
+        zeros_q = jnp.zeros_like(qt)
+        zeros_x = jnp.zeros_like(xt)
+        qf = jnp.concatenate(
+            [-2.0 * q, jnp.ones((Q, 1), jnp.float32), jnp.zeros((Q, 7), jnp.float32)], 1
+        )
+        xf = jnp.concatenate([x, xt[:, None], jnp.zeros((N, 7), jnp.float32)], 1)
+        for prec in todo_folded:
+            try:
+                fn = lambda: PS.fused_groupmin(
+                    qf, xf, zeros_q, zeros_x, 1.0, tq=256, tc=2048, precision=prec
+                )
+                dt = timeit(fn)
+                emit(kind="fused_folded", prec=prec, ms=round(dt * 1e3, 2),
+                     tfs=round(flops / dt / 1e12, 1))
+            except Exception as e:
+                emit(kind="fused_folded", prec=prec, err=str(e)[-300:])
+
+    if todo_d256:
+        x2 = jnp.concatenate([x, x], axis=1)
+        q2 = jnp.concatenate([q, q], axis=1)
+        qt2, xt2 = 2.0 * qt, 2.0 * xt
+        for prec in todo_d256:
+            try:
+                fn = lambda: PS.fused_groupmin(
+                    q2, x2, qt2, xt2, -2.0, tq=256, tc=2048, precision=prec
+                )
+                dt = timeit(fn)
+                emit(kind="fused_d256", prec=prec, ms=round(dt * 1e3, 2),
+                     tfs=round(2 * flops / dt / 1e12, 1))
+            except Exception as e:
+                emit(kind="fused_d256", prec=prec, err=str(e)[-300:])
+        del x2, q2
+
+    gold = None
+    last_lay = None
+    for lay, prec, tq in todo_fused:
+        if lay != last_lay:
+            PS.KERNEL_LAYOUT = lay
+            jax.clear_caches()
+            last_lay = lay
+        try:
+            fn = lambda: PS.fused_groupmin(
+                q, x, qt, xt, -2.0, tq=tq, tc=2048, precision=prec
+            )
+            dt = timeit(fn)
+            out = np.asarray(fn())
+            row = dict(kind="fused", layout=lay, prec=prec, tq=tq,
+                       ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
+            if prec == "float32":
+                if gold is None:
+                    gold = out
+                else:
+                    row["max_vs_gold"] = float(np.max(np.abs(out - gold)))
+            emit(**row)
+        except Exception as e:
+            emit(kind="fused", layout=lay, prec=prec, tq=tq, err=str(e)[-300:])
+
+
+if __name__ == "__main__":
+    main()
