@@ -46,7 +46,21 @@ def main():
 
     pts = sparse_like(N + NQ, vocab=30_000, nnz=64, seed=0)
     corpus, q = pts[:N], pts[N : N + NQ]
-    gold = np.load(f"/tmp/sparse_gold_{N}.npz")["ids"]
+    # exact gold, recomputed when the /tmp cache is gone (VM reboots):
+    # same path/params as r2_sparse_stage.gold_for
+    import os
+
+    gpath = f"/tmp/sparse_gold_{N}.npz"
+    if os.path.exists(gpath):
+        gold = np.load(gpath)["ids"]
+    else:
+        ex = Index("cosinesimil_sparse", method="seq_search",
+                   data_type=DataKind.SPARSE)
+        ex.add_sparse_batch(corpus)
+        ex.build_index()
+        _, gold = ex.knn_query_batch(q, K)
+        gold = np.asarray(gold)
+        np.savez(gpath, ids=gold)
 
     try:
         if stage == "scan":
