@@ -88,7 +88,13 @@ def main():
         idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
         idx.add_sparse_batch(corpus)
         t0 = time.perf_counter()
-        idx.build_index(Params(M=m, efConstruction=efc, waveSize=1024))
+        # sketchQuery=1 at BUILD time keeps the JL proxy alive (default 0
+        # drops it in _drop_wave_state, and then flipping the attribute
+        # post-build silently falls back to the exact path — the sq=1
+        # sweep would re-measure sq=0); toggling the attribute afterwards
+        # is then a real A/B: sq=0 ignores the kept proxy.
+        idx.build_index(Params(M=m, efConstruction=efc, waveSize=1024,
+                               sketchQuery=1))
         sync(idx.method.graph["level0"])
         emit(stage=stage, event="build_ok", M=m, efC=efc,
              build_s=round(time.perf_counter() - t0, 1))
