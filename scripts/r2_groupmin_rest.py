@@ -56,13 +56,18 @@ def main():
     ]
     todo_folded = [p for p in ("float32", "bfloat16") if missing("fused_folded", prec=p)]
     todo_d256 = [p for p in ("float32", "bfloat16") if missing("fused_d256", prec=p)]
+    # decision-critical first: the "x" layout at tq=256 decides the
+    # shipped default (and f32 establishes gold); q-layout re-anchors and
+    # tq=512 variants are nice-to-have — at ~6-10 min of tunnel time per
+    # new 1M program, order IS coverage under a timeout.
     todo_fused = [
         (lay, p, tq)
-        for lay in ("q", "x")
-        for p in ("float32", "high", "bfloat16")
+        for lay in ("x", "q")
         for tq in (256, 512)
+        for p in ("float32", "bfloat16", "high")
         if missing("fused", lay, p, tq)
     ]
+    todo_fused.sort(key=lambda t: (t[2] != 256, t[0] != "x"))
     if not (todo_xla or todo_folded or todo_d256 or todo_fused):
         print("nothing missing")
         return
@@ -106,13 +111,30 @@ def main():
 
         return f
 
-    for prec, red in todo_xla:
+    gold = None
+    last_lay = None
+    for lay, prec, tq in todo_fused:
+        if lay != last_lay:
+            PS.KERNEL_LAYOUT = lay
+            jax.clear_caches()
+            last_lay = lay
         try:
-            dt = timeit(xla_rowred(prec, red))
-            emit(kind=f"xla_row{red}_{prec}",
-                 ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
+            fn = lambda: PS.fused_groupmin(
+                q, x, qt, xt, -2.0, tq=tq, tc=2048, precision=prec
+            )
+            dt = timeit(fn)
+            out = np.asarray(fn())
+            row = dict(kind="fused", layout=lay, prec=prec, tq=tq,
+                       ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1),
+                       at=time.strftime("%H:%M:%S"))
+            if prec == "float32":
+                if gold is None:
+                    gold = out
+                else:
+                    row["max_vs_gold"] = float(np.max(np.abs(out - gold)))
+            emit(**row)
         except Exception as e:
-            emit(kind=f"xla_row{red}_{prec}", err=str(e)[-300:])
+            emit(kind="fused", layout=lay, prec=prec, tq=tq, err=str(e)[-300:])
 
     if todo_folded:
         zeros_q = jnp.zeros_like(qt)
@@ -148,29 +170,14 @@ def main():
                 emit(kind="fused_d256", prec=prec, err=str(e)[-300:])
         del x2, q2
 
-    gold = None
-    last_lay = None
-    for lay, prec, tq in todo_fused:
-        if lay != last_lay:
-            PS.KERNEL_LAYOUT = lay
-            jax.clear_caches()
-            last_lay = lay
+    for prec, red in todo_xla:
         try:
-            fn = lambda: PS.fused_groupmin(
-                q, x, qt, xt, -2.0, tq=tq, tc=2048, precision=prec
-            )
-            dt = timeit(fn)
-            out = np.asarray(fn())
-            row = dict(kind="fused", layout=lay, prec=prec, tq=tq,
-                       ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1))
-            if prec == "float32":
-                if gold is None:
-                    gold = out
-                else:
-                    row["max_vs_gold"] = float(np.max(np.abs(out - gold)))
-            emit(**row)
+            dt = timeit(xla_rowred(prec, red))
+            emit(kind=f"xla_row{red}_{prec}",
+                 ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1),
+                 at=time.strftime("%H:%M:%S"))
         except Exception as e:
-            emit(kind="fused", layout=lay, prec=prec, tq=tq, err=str(e)[-300:])
+            emit(kind=f"xla_row{red}_{prec}", err=str(e)[-300:])
 
 
 if __name__ == "__main__":
