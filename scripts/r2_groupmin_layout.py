@@ -55,22 +55,27 @@ def main():
     # control: same product, same data volume, different reduction op —
     # if sum == min, the epilogue op is free and the bind is the matmul
     # pipeline itself.
+    # arrays MUST be jit ARGUMENTS: closing over the 512MB corpus bakes
+    # it into the program as constants and the remote-compile request
+    # overflows (HTTP 413 / endless upload — this stalled the first
+    # batch run for its whole 40-min budget with zero rows emitted)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("p", "red"))
+    def _rowred(qb, xb, qt_, xt_, p, red):
+        g = jax.lax.dot_general(
+            qb, xb, (((1,), (1,)), ((), ())),
+            precision=p, preferred_element_type=jnp.float32,
+        )
+        z = -2.0 * g + qt_[:, None] + xt_[None, :]
+        return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
+
     def xla_rowred(prec, red):
         xb = x.astype(jnp.bfloat16) if prec == "bf16" else x
         qb = q.astype(jnp.bfloat16) if prec == "bf16" else q
         p = (jax.lax.Precision.DEFAULT if prec == "bf16"
              else jax.lax.Precision.HIGHEST)
-
-        @jax.jit
-        def f():
-            g = jax.lax.dot_general(
-                qb, xb, (((1,), (1,)), ((), ())),
-                precision=p, preferred_element_type=jnp.float32,
-            )
-            z = -2.0 * g + qt[:, None] + xt[None, :]
-            return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
-
-        return f
+        return lambda: _rowred(qb, xb, qt, xt, p=p, red=red)
 
     for prec in ("f32", "bf16"):
         for red in ("min", "sum"):

@@ -4,6 +4,7 @@ successful row yet (same keys, same log file). Safe to run repeatedly;
 exits immediately when nothing is missing.
 """
 
+import functools
 import json
 import os
 import time
@@ -94,22 +95,25 @@ def main():
 
     flops = 2.0 * N * D * Q
 
+    # arrays MUST be jit ARGUMENTS: closing over the 512MB corpus bakes
+    # it into the program as constants and the remote-compile request
+    # overflows (HTTP 413 / endless upload — this stalled the first
+    # batch run for its whole 40-min budget with zero rows emitted)
+    @functools.partial(jax.jit, static_argnames=("p", "red"))
+    def _rowred(qb, xb, qt_, xt_, p, red):
+        g = jax.lax.dot_general(
+            qb, xb, (((1,), (1,)), ((), ())),
+            precision=p, preferred_element_type=jnp.float32,
+        )
+        z = -2.0 * g + qt_[:, None] + xt_[None, :]
+        return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
+
     def xla_rowred(prec, red):
         xb = x.astype(jnp.bfloat16) if prec == "bf16" else x
         qb = q.astype(jnp.bfloat16) if prec == "bf16" else q
         p = (jax.lax.Precision.DEFAULT if prec == "bf16"
              else jax.lax.Precision.HIGHEST)
-
-        @jax.jit
-        def f():
-            g = jax.lax.dot_general(
-                qb, xb, (((1,), (1,)), ((), ())),
-                precision=p, preferred_element_type=jnp.float32,
-            )
-            z = -2.0 * g + qt[:, None] + xt[None, :]
-            return jnp.min(z, axis=1) if red == "min" else jnp.sum(z, axis=1)
-
-        return f
+        return lambda: _rowred(qb, xb, qt, xt, p=p, red=red)
 
     gold = None
     last_lay = None
