@@ -38,7 +38,7 @@ def main():
 
     gpath = "/tmp/gold_sift1m_l2.npz"
     # keep the exact index RESIDENT: the point is surviving next to it
-    ex = Index("l2", method="seq_search")
+    ex = Index("l2", Params(dim=D), method="seq_search")
     ex.add_dense_batch(corpus)
     ex.build_index()
     if os.path.exists(gpath):
@@ -49,7 +49,7 @@ def main():
         np.savez(gpath, ids=gold)
 
     try:
-        idx = Index("l2", method="hnsw")
+        idx = Index("l2", Params(dim=D), method="hnsw")
         idx.add_dense_batch(corpus)
         t0 = time.perf_counter()
         idx.build_index(Params(M=16, efConstruction=100, waveSize=1024,

@@ -84,7 +84,11 @@ def main():
                      recall_at_10=round(recall(i, gold), 4))
             return
 
-        efc, m = (200, 32) if stage == "big" else (100, 16)
+        # waveSize 256 for the big config: efC=200 + M=32 at waveSize=1024
+        # blew the HBM compile estimate (the exact-refinement pair scoring
+        # is O(W * C^2 * nnz) in lookup intermediates) — a quarter wave
+        # bounds the peak at 4x less, trading build wall-clock only
+        efc, m, wave = (200, 32, 256) if stage == "big" else (100, 16, 1024)
         idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
         idx.add_sparse_batch(corpus)
         t0 = time.perf_counter()
@@ -93,7 +97,7 @@ def main():
         # post-build silently falls back to the exact path — the sq=1
         # sweep would re-measure sq=0); toggling the attribute afterwards
         # is then a real A/B: sq=0 ignores the kept proxy.
-        idx.build_index(Params(M=m, efConstruction=efc, waveSize=1024,
+        idx.build_index(Params(M=m, efConstruction=efc, waveSize=wave,
                                sketchQuery=1))
         sync(idx.method.graph["level0"])
         emit(stage=stage, event="build_ok", M=m, efC=efc,

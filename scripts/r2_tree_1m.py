@@ -35,9 +35,9 @@ def gold_ids(corpus, q, k=10):
     path = "/tmp/gold_sift1m_l2.npz"
     if os.path.exists(path):
         return np.load(path)["ids"]
-    from tpu_knn import Index
+    from tpu_knn import Index, Params
 
-    ex = Index("l2", method="seq_search")
+    ex = Index("l2", Params(dim=128), method="seq_search")
     ex.add_dense_batch(corpus)
     ex.build_index()
     _, ids = ex.knn_query_batch(q, k)
@@ -78,7 +78,7 @@ def main():
 
     try:
         if which == "vptree":
-            idx = Index("l2", method="vptree")
+            idx = Index("l2", Params(dim=128), method="vptree")
             idx.add_dense_batch(corpus)
             t0 = time.perf_counter()
             idx.build_index(Params(bucketSize=64))
@@ -90,7 +90,7 @@ def main():
                 run_queries(idx, q, gold, "vptree",
                             {"alphaLeft": alpha, "alphaRight": alpha})
         elif which == "napp":
-            idx = Index("l2", method="napp")
+            idx = Index("l2", Params(dim=128), method="napp")
             idx.add_dense_batch(corpus)
             t0 = time.perf_counter()
             idx.build_index(Params(numPivot=512, numPrefix=32))
