@@ -43,7 +43,13 @@ NEG1 = np.int32(-1)
 #:                scoring bitwise-identically wherever it appears; the one
 #:                exception (the init-scored entry) is masked from
 #:                candidates inside the body.
-BEAM_DEDUP = "broadcast"
+#: Measured on v5e (scripts/r2_beam_modes.py, 100k corpus, 2048 queries,
+#: M=16): postmerge is device-faster at both sweep points (92.9 vs
+#: 94.8 ms total device time at ef=20; +18% wall qps at ef=50) with
+#: bitwise-identical results; "topk" merge is ~3.5x SLOWER device-side
+#: than the 3-operand sort (lax.top_k over wide rows, as in the exact
+#: scan) and stays off.
+BEAM_DEDUP = "postmerge"
 #: merge: how the candidate frontier enters the beam
 #:   "sort": one 3-operand full-width lax.sort
 #:   "topk": lax.top_k on distances + 2 take_along_axis gathers
