@@ -34,10 +34,18 @@ def main():
     from tpu_knn.eval.datasets import sift_like
 
     pts = sift_like(N + Q, D, seed=0)
-    x = jnp.asarray(pts[:N])
+    # pad the corpus to the tc multiple exactly like encode_dataset does
+    # in production (1M % 2048 != 0 — the raw array violates the kernel's
+    # divisibility contract); pad rows carry +inf terms so mins ignore
+    # them. TF/s is reported on the REAL flops for comparability.
+    TC = 2048
+    n_pad = ((N + TC - 1) // TC) * TC
+    xh = np.zeros((n_pad, D), np.float32)
+    xh[:N] = pts[:N]
+    x = jnp.asarray(xh)
     q = jnp.asarray(pts[N : N + Q])
     qt = jnp.sum(q * q, axis=1)
-    xt = jnp.sum(x * x, axis=1)
+    xt = jnp.where(jnp.arange(n_pad) < N, jnp.sum(x * x, axis=1), 1e30)
     sync = lambda a: float(jnp.sum(a))
 
     def timeit(fn):
@@ -99,7 +107,7 @@ def main():
         [-2.0 * q, jnp.ones((Q, 1), jnp.float32), jnp.zeros((Q, 7), jnp.float32)], 1
     )
     xf = jnp.concatenate(
-        [x, xt[:, None], jnp.zeros((N, 7), jnp.float32)], 1
+        [x, xt[:, None], jnp.zeros((x.shape[0], 7), jnp.float32)], 1
     )
     for prec in ("float32", "bfloat16"):
         try:

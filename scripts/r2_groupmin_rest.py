@@ -11,9 +11,10 @@ import time
 
 import numpy as np
 
-LOG = "/tmp/r2_groupmin.jsonl"
-N, D, Q = 1_000_000, 128, 2048
-REPS = 10
+LOG = os.environ.get("GM_LOG", "/tmp/r2_groupmin.jsonl")
+N = int(os.environ.get("GM_N", 1_000_000))
+D, Q = 128, int(os.environ.get("GM_Q", 2048))
+REPS = int(os.environ.get("GM_REPS", 10))
 
 
 def done_keys():
@@ -55,6 +56,17 @@ def main():
         (p, r) for p in ("f32", "bf16") for r in ("min", "sum")
         if missing(f"xla_row{r}_{p}")
     ]
+    # XLA GROUP-min probes (the rowmin refs measured 6.05ms bf16 =
+    # 86.6 TF/s with a FREE reduction epilogue — 2x our Pallas kernel;
+    # if either grouped formulation keeps that fusion, XLA wins pass 1):
+    # "reshape": one [Q,N] matmul + reshape-to-[Q,G,128] min (round-1
+    # note says this broke fusion at 64ms f32 — re-anchor at bf16);
+    # "batched": G-batched [Q,d]x[d,128] dot_general + min over the
+    # 128-lane axis, min fusable per batch.
+    todo_xgm = [
+        (p, f) for p in ("f32", "bf16") for f in ("reshape", "batched")
+        if missing(f"xla_groupmin_{f}_{p}")
+    ]
     todo_folded = [p for p in ("float32", "bfloat16") if missing("fused_folded", prec=p)]
     todo_d256 = [p for p in ("float32", "bfloat16") if missing("fused_d256", prec=p)]
     # decision-critical first: the "x" layout at tq=256 decides the
@@ -69,7 +81,7 @@ def main():
         if missing("fused", lay, p, tq)
     ]
     todo_fused.sort(key=lambda t: (t[2] != 256, t[0] != "x"))
-    if not (todo_xla or todo_folded or todo_d256 or todo_fused):
+    if not (todo_xla or todo_folded or todo_d256 or todo_fused or todo_xgm):
         print("nothing missing")
         return
 
@@ -80,10 +92,18 @@ def main():
     from tpu_knn.eval.datasets import sift_like
 
     pts = sift_like(N + Q, D, seed=0)
-    x = jnp.asarray(pts[:N])
+    # pad the corpus to the tc multiple exactly like encode_dataset does
+    # in production (1M % 2048 != 0 — the raw array violates the kernel's
+    # divisibility contract); pad rows carry +inf terms so mins ignore
+    # them. TF/s is reported on the REAL flops for comparability.
+    TC = 2048
+    n_pad = ((N + TC - 1) // TC) * TC
+    xh = np.zeros((n_pad, D), np.float32)
+    xh[:N] = pts[:N]
+    x = jnp.asarray(xh)
     q = jnp.asarray(pts[N : N + Q])
     qt = jnp.sum(q * q, axis=1)
-    xt = jnp.sum(x * x, axis=1)
+    xt = jnp.where(jnp.arange(n_pad) < N, jnp.sum(x * x, axis=1), 1e30)
     sync = lambda a: float(jnp.sum(a))
 
     def timeit(fn):
@@ -146,7 +166,7 @@ def main():
         qf = jnp.concatenate(
             [-2.0 * q, jnp.ones((Q, 1), jnp.float32), jnp.zeros((Q, 7), jnp.float32)], 1
         )
-        xf = jnp.concatenate([x, xt[:, None], jnp.zeros((N, 7), jnp.float32)], 1)
+        xf = jnp.concatenate([x, xt[:, None], jnp.zeros((x.shape[0], 7), jnp.float32)], 1)
         for prec in todo_folded:
             try:
                 fn = lambda: PS.fused_groupmin(
@@ -173,6 +193,39 @@ def main():
             except Exception as e:
                 emit(kind="fused_d256", prec=prec, err=str(e)[-300:])
         del x2, q2
+
+    @functools.partial(jax.jit, static_argnames=("p", "form"))
+    def _xgm(qb, xb, qt_, xt_, p, form):
+        G = xb.shape[0] // 128
+        if form == "reshape":
+            g = jax.lax.dot_general(
+                qb, xb, (((1,), (1,)), ((), ())),
+                precision=p, preferred_element_type=jnp.float32,
+            )
+            z = -2.0 * g + qt_[:, None] + xt_[None, :]
+            return jnp.min(z.reshape(z.shape[0], G, 128), axis=2)
+        xg = xb.reshape(G, 128, xb.shape[1])
+        # [G, Q, 128] batched dot: contract d, batch over groups
+        gb = jax.lax.dot_general(
+            jnp.broadcast_to(qb, (G,) + qb.shape), xg,
+            (((2,), (2,)), ((0,), (0,))),
+            precision=p, preferred_element_type=jnp.float32,
+        )
+        z = -2.0 * gb + qt_[None, :, None] + xt_.reshape(G, 1, 128)
+        return jnp.min(z, axis=2).T  # [Q, G]
+
+    for prec, form in todo_xgm:
+        xb = x.astype(jnp.bfloat16) if prec == "bf16" else x
+        qb = q.astype(jnp.bfloat16) if prec == "bf16" else q
+        p = (jax.lax.Precision.DEFAULT if prec == "bf16"
+             else jax.lax.Precision.HIGHEST)
+        try:
+            dt = timeit(lambda: _xgm(qb, xb, qt, xt, p=p, form=form))
+            emit(kind=f"xla_groupmin_{form}_{prec}",
+                 ms=round(dt * 1e3, 2), tfs=round(flops / dt / 1e12, 1),
+                 at=time.strftime("%H:%M:%S"))
+        except Exception as e:
+            emit(kind=f"xla_groupmin_{form}_{prec}", err=str(e)[-300:])
 
     for prec, red in todo_xla:
         try:
