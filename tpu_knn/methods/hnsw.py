@@ -802,13 +802,18 @@ class Hnsw(Method):
         if self._nbr_store is None or self._nbr_store[0] is not adj:
             vecs = self.data.vecs
             safe = jnp.clip(adj, 0, vecs.shape[0] - 1)
+            # quantize the CORPUS before the neighbor gather so the
+            # [n_pad, maxM0, d] gather lands directly in the narrow
+            # dtype: gathering f32 first materializes n_pad*maxM0*d*4
+            # bytes (16GB at 1M x 32 x 128) and RESOURCE_EXHAUSTs —
+            # measured on v5e next to a resident exact index.
             if self.nbr_store_dtype == "int8":
                 s = float(jnp.max(jnp.abs(vecs))) / 127.0
                 s = s if s > 0 else 1.0
-                rows = jnp.clip(jnp.round(vecs[safe] / s), -127, 127).astype(jnp.int8)
-                self._nbr_store = (adj, rows, s)
+                xq = jnp.clip(jnp.round(vecs / s), -127, 127).astype(jnp.int8)
+                self._nbr_store = (adj, xq[safe], s)
             else:
-                self._nbr_store = (adj, vecs[safe].astype(jnp.bfloat16), 1.0)
+                self._nbr_store = (adj, vecs.astype(jnp.bfloat16)[safe], 1.0)
         return self._nbr_store[1], self._nbr_store[2]
 
     def knn(self, points, k: int):
