@@ -179,7 +179,11 @@ def _knn_device_twopass(
 
     def pass1_kernel(prec: str):
         qv, qt, xt, scale = _kernel_inputs()
-        tq = 256 if qv.shape[0] % 256 == 0 else qv.shape[0]
+        # tq=512 measured fastest at every precision on v5e (1M x 128,
+        # x-layout: f32 19.1 vs 20.6 ms, bf16 6.2 vs 8.0 ms against
+        # tq=256 — bigger query tiles amortize the corpus-tile reload)
+        qn_pad = qv.shape[0]
+        tq = next((t for t in (512, 256) if qn_pad % t == 0), qn_pad)
         return PS.fused_groupmin(qv, data.vecs, qt, xt, scale, tq=tq, precision=prec)[
             :nq
         ]

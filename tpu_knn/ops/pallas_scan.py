@@ -32,6 +32,14 @@ GROUP = 128
 #: (fewer VPU epilogue ops). Module-level for the TPU A/B harness.
 KERNEL_LAYOUT = "x"
 
+#: pass-1 engine: "pallas" = the hand-tiled kernel below; "xla_batched"
+#: = G-batched dot_general + per-batch lane min (the formulation XLA
+#: can fuse into the matmul epilogue); "xla_reshape" = one [Q, N]
+#: matmul + reshape-min (historically broke epilogue fusion — kept for
+#: the A/B harness). scripts/r2_groupmin_rest.py decides the default;
+#: flag changes need jax.clear_caches() (read at trace time).
+GROUPMIN_BACKEND = "pallas"
+
 
 _DIMS = (((1,), (1,)), ((), ()))
 
@@ -129,6 +137,45 @@ def _kernel_t(
     out_ref[:] = jnp.min(d.reshape(tc // GROUP, GROUP, tq), axis=1)
 
 
+def _xla_dot(q, x, precision: str):
+    """[N_or_G..., D] x [Q, D] -> f32[..., Q] at the named pass-1 tier.
+
+    Outside Mosaic every tier has a first-class XLA spelling: HIGHEST
+    (bf16x6 exact f32), HIGH (bf16x3 — rejected by Mosaic, fine in XLA),
+    DEFAULT on bf16-cast inputs. int8 accumulates exactly in i32."""
+    if q.dtype == jnp.int8:
+        return jax.lax.dot_general(
+            x, q, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    if precision == "bfloat16":
+        x, q = x.astype(jnp.bfloat16), q.astype(jnp.bfloat16)
+        p = jax.lax.Precision.DEFAULT
+    else:
+        p = (jax.lax.Precision.HIGH if precision == "high"
+             else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        x, q, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=p,
+    )
+
+
+def _xla_groupmin(q, x, q_term, x_term, scale, precision: str):
+    """Pure-XLA pass 1 (see GROUPMIN_BACKEND): same [Q, N/128] group
+    mins as the Pallas kernel, computed as either a G-batched matmul
+    whose 128-lane min can fuse into the epilogue ("xla_batched") or a
+    flat matmul + reshape-min ("xla_reshape")."""
+    n, d = x.shape
+    g = n // GROUP
+    if GROUPMIN_BACKEND == "xla_batched":
+        dots = _xla_dot(q, x.reshape(g, GROUP, d), precision)  # [G, 128, Q]
+        z = scale * dots + x_term.reshape(g, GROUP)[:, :, None] + q_term[None, None, :]
+        return jnp.min(z, axis=1).T  # [Q, G]
+    dots = _xla_dot(q, x, precision)  # [N, Q]
+    z = scale * dots + x_term[:, None] + q_term[None, :]
+    return jnp.min(z.reshape(g, GROUP, -1), axis=1).T
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "tq", "tc", "interpret", "precision")
 )
@@ -161,6 +208,11 @@ def fused_groupmin(
             f"fused_groupmin needs qn%tq==0, n%tc==0, n%{GROUP}==0, d%8==0; "
             f"got qn={qn} tq={tq} n={n} tc={tc} d={d}"
         )
+    if GROUPMIN_BACKEND != "pallas" and not interpret:
+        # interpret=True always exercises the Pallas kernel (its CPU
+        # test mode); otherwise the XLA formulations honor the same
+        # contract and return identical-shape group mins
+        return _xla_groupmin(q, x, q_term, x_term, scale, precision)
     # corpus tile OUTER, query tile INNER (the grid's last axis is the
     # fastest-varying): the big x tile loads from HBM once per sweep and
     # the small q tiles cycle — the reverse order re-reads the whole
