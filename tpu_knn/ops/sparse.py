@@ -85,14 +85,25 @@ def dot_blocked(qcol, qval, xcol, xval):
 
 def _densify(col: jax.Array, val: jax.Array, v_pad: int) -> jax.Array:
     """Scatter padded-CSR rows into a dense [rows, v_pad] block.
-    Column ids are 1-based; padding sentinels (PAD_Q/PAD_X) scatter out
-    of range and are dropped. Ids are unique and ascending per row, so
-    the flattened (row-major) scatter indices are sorted and unique —
-    the hints let XLA skip the serialized combine path (measured: the
-    unhinted scatter alone held a 100k sparse sweep at ~100 qps)."""
+    Column ids are 1-based; padding slots scatter out of range and are
+    dropped. Ids are unique and ascending per row, so the flattened
+    (row-major) scatter indices are sorted and unique — the hints let
+    XLA skip the serialized combine path (measured: the unhinted
+    scatter alone held a 100k sparse sweep at ~100 qps).
+
+    Padding slots (sentinel ids PAD_Q/PAD_X — anything past v_pad) are
+    remapped to v_pad + slot_position: still out of range (dropped by
+    mode="drop"), but DISTINCT per slot and ascending, because a row
+    with two padding slots would otherwise scatter the SAME (row,
+    sentinel-1) index twice — violating unique_indices, which is
+    undefined behavior that XLA:TPU's sorted-unique fast path is
+    entitled to (and was observed to) miscompile in some program
+    contexts, zeroing table rows."""
     r, nnz = col.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, nnz), 0)
-    return jnp.zeros((r, v_pad), jnp.float32).at[rows, col - 1].add(
+    slot = jax.lax.broadcasted_iota(jnp.int32, (r, nnz), 1)
+    cols0 = jnp.where(col > v_pad, v_pad + 1 + slot, col) - 1
+    return jnp.zeros((r, v_pad), jnp.float32).at[rows, cols0].add(
         val, mode="drop", unique_indices=True, indices_are_sorted=True
     )
 
