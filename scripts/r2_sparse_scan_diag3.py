@@ -36,15 +36,19 @@ def main():
     from tpu_knn.eval.datasets import sparse_like
 
     def dev_cksum(x):
-        """Exact order-independent checksum of raw bits, on device."""
-        u = jax.lax.bitcast_convert_type(x, jnp.uint32) if x.dtype != jnp.int32 \
-            else x.astype(jnp.uint32)
-        return int(jnp.sum(u.astype(jnp.uint64) * 2654435761, dtype=jnp.uint64))
+        """Exact position-weighted checksum of raw bits mod 2^32, on
+        device (x64 is disabled on this image, so stay in uint32)."""
+        u = (jax.lax.bitcast_convert_type(x, jnp.uint32)
+             if x.dtype != jnp.int32 else x.astype(jnp.uint32)).reshape(-1)
+        w = (jnp.arange(u.shape[0], dtype=jnp.uint32) | jnp.uint32(1))
+        return int(jnp.sum(u * w, dtype=jnp.uint32))
 
     def host_cksum(x):
-        u = x.view(np.uint32) if x.dtype != np.int32 else x.astype(np.uint32)
-        return int(np.sum(u.astype(np.uint64) * np.uint64(2654435761),
-                          dtype=np.uint64))
+        u = (x.view(np.uint32) if x.dtype != np.int32
+             else x.astype(np.uint32)).reshape(-1)
+        w = np.arange(u.shape[0], dtype=np.uint32) | np.uint32(1)
+        with np.errstate(over="ignore"):
+            return int(np.sum(u * w, dtype=np.uint32))
 
     pts = sparse_like(N + NQ, vocab=30_000, nnz=64, seed=0)
     corpus, queries = pts[:N], pts[N : N + NQ]
@@ -125,6 +129,23 @@ def main():
          dq_vs_db=float(jnp.max(jnp.abs(dq - db))),
          dq_vs_dm=float(jnp.max(jnp.abs(dq - dm))),
          db_vs_dm=float(jnp.max(jnp.abs(db - dm))))
+
+    # ---- 5b. _densify under lax.map (the sketch-build / blocked-scan
+    # shape class: [2048, v_pad] scatters inside a scanned program) vs
+    # the same chunks densified one-by-one, compared ON DEVICE — if
+    # these disagree, the scatter miscompiles specifically under the
+    # mapped/fused program, which would poison sketch projections too
+    import jax.numpy as jnp2
+    CH = 512
+    nch = 4
+    cols_m = cols[: CH * nch].reshape(nch, CH, cols.shape[1])
+    vals_m = vals[: CH * nch].reshape(nch, CH, vals.shape[1])
+    mapped = jax.lax.map(lambda a: S._densify(a[0], a[1], v_pad),
+                         (cols_m, vals_m))
+    single = jnp2.stack([S._densify(cols_m[i], vals_m[i], v_pad)
+                         for i in range(nch)])
+    emit(check="densify_lax_map_vs_single_dev_maxabs",
+         v=float(jnp2.max(jnp2.abs(mapped - single))))
 
     # ---- 6. host f64 oracle for 32 rows of the chunk, vs a 32-row
     # download of each dot (small downloads)

@@ -360,14 +360,20 @@ class SparseDotBase(SparseSpaceBase):
         corpus vocabulary gate is present (exact scan), sorted-lookup
         otherwise (unbounded id spaces)."""
         qd = qenc.get("q_dense")
+        if qd is None:
+            vm = xc.get("vocab_mark")
+            if vm is not None and xc["cols"].ndim == 2:
+                # densify the queries on the spot instead of calling
+                # dot_blocked_dense: the corpus-densify matmul
+                # formulation measured WRONG on the TPU backend at 100k
+                # (recall 0.84 vs the f64 oracle, scripts/
+                # r2_sparse_quality.py scan) while the densified-query
+                # gather is bit-verified exact end-to-end — and ~7x
+                # faster (652 vs 95 qps wall at 100k). The scatter is
+                # loop-invariant: XLA hoists it out of scan bodies.
+                qd = S._densify(qenc["qcol"], qenc["qval"], vm.shape[0])
         if qd is not None and xc["cols"].ndim == 2:
             return S.dot_qdense(qd, xc["cols"], xc["x"])
-        vm = xc.get("vocab_mark")
-        if vm is not None and xc["cols"].ndim == 2:
-            return S.dot_blocked_dense(
-                qenc["qcol"], qenc["qval"], xc["cols"], xc["x"], vm.shape[0],
-                precision,
-            )
         return S.dot_blocked(qenc["qcol"], qenc["qval"], xc["cols"], xc["x"])
 
     def _norm_dot(self, qenc, xc, precision: str = "float32"):
@@ -608,14 +614,18 @@ class SparseJaccardSpace(SparseSpaceBase):
     def _block_impl(self, qenc, xc, precision):
         qd = qenc.get("q_dense")
         vm = xc.get("vocab_mark")
+        if qd is None and vm is not None and xc["cols"].ndim == 2:
+            # presence table built on the spot; the corpus-densify
+            # indicator matmul is retired from production for the same
+            # reason as dot_blocked_dense (see SparseDotBase._dot)
+            qd = S._densify(
+                qenc["qcol"], jnp.ones(qenc["qcol"].shape, jnp.float32),
+                vm.shape[0],
+            )
         if qd is not None and xc["cols"].ndim == 2:
             # densified-presence gather: HBM traffic scales with corpus
             # nnz, not the dense vocabulary width (see SparseDotBase._dot)
             inter = S.intersect_count_qdense(qd, xc["cols"])
-        elif vm is not None and xc["cols"].ndim == 2:
-            inter = S.intersect_count_blocked_dense(
-                qenc["qcol"], xc["cols"], vm.shape[0], precision
-            )
         else:
             return S.jaccard_blocked(qenc["qcol"], xc["cols"], qenc["qlen"], xc["len"])
         union = qenc["qlen"][:, None] + xc["len"][None, :] - inter
