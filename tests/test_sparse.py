@@ -184,3 +184,34 @@ def test_dense_scatter_dot_matches_lookup(rng):
     ref_i = np.asarray(S.intersect_count_blocked(qcol, xcol))
     got_i = np.asarray(S.intersect_count_blocked_dense(qcol, xcol, 384))
     np.testing.assert_allclose(got_i, ref_i, rtol=0, atol=1e-5)
+
+
+def test_sketch_backends_agree(rng):
+    """The scatter-free gather sketch projection equals the
+    densify+matmul formulation (SKETCH_BACKEND switch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    xs = [DataStore.validate_sparse(p)
+          for p in _rand_sparse(rng, 48, universe=300, max_nnz=20)]
+    nnz = max(len(p.ids) for p in xs)
+    col = np.full((len(xs), nnz), int(S.PAD_X), np.int32)
+    val = np.zeros((len(xs), nnz), np.float32)
+    for i, pp in enumerate(xs):
+        col[i, : len(pp.ids)] = pp.ids
+        val[i, : len(pp.ids)] = pp.values
+    col, val = jnp.asarray(col), jnp.asarray(val)
+    R = S.sketch_matrix(384, 64, seed=7)
+    outs = {}
+    for backend in ("densify", "gather"):
+        S.SKETCH_BACKEND = backend
+        jax.clear_caches()
+        try:
+            outs[backend] = np.asarray(S.sketch_csr(col, val, R, chunk=16))
+        finally:
+            S.SKETCH_BACKEND = "densify"
+    jax.clear_caches()
+    np.testing.assert_allclose(outs["gather"], outs["densify"],
+                               rtol=1e-4, atol=1e-5)

@@ -281,6 +281,13 @@ def sketch_matrix(v_pad: int, dsk: int, seed: int) -> jax.Array:
     return jax.random.normal(key, (v_pad, dsk), jnp.float32) * (1.0 / dsk**0.5)
 
 
+#: sketch projection engine: "densify" = per-chunk scatter + deep MXU
+#: matmul; "gather" = sum of R's rows at each element's column id
+#: (scatter-free — exactly nnz*dsk FLOPs/row instead of v_pad*dsk, and
+#: immune to any scatter-lowering defect inside mapped programs).
+SKETCH_BACKEND = "densify"
+
+
 @partial(jax.jit, static_argnames=("v_pad", "chunk"))
 def _sketch_chunks(col, val, R, v_pad: int, chunk: int):
     n = col.shape[0]
@@ -288,6 +295,15 @@ def _sketch_chunks(col, val, R, v_pad: int, chunk: int):
 
     def one(args):
         c, v = args
+        if SKETCH_BACKEND == "gather":
+            keep = (c >= 1) & (c <= v_pad)
+            rows = R[jnp.clip(c - 1, 0, v_pad - 1)]  # [chunk, nnz, dsk]
+            w = jnp.where(keep, v, 0.0)
+            return jnp.einsum(
+                "cn,cnd->cd", w, rows,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         return _densify(c, v, v_pad) @ R
 
     out = jax.lax.map(
@@ -308,6 +324,10 @@ def sketch_csr(col, val, R, chunk: int = 2048) -> jax.Array:
     presence indicators for jaccard)."""
     n = col.shape[0]
     v_pad = R.shape[0]
+    if SKETCH_BACKEND == "gather":
+        # transient is [chunk, nnz, dsk] f32 — bound it (~128MB at
+        # nnz=64, dsk=1024) instead of the densify path's [chunk, v_pad]
+        chunk = min(chunk, 512)
     chunk = min(chunk, max(n, 1))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     if n_pad != n:
