@@ -88,7 +88,14 @@ def main():
         # blew the HBM compile estimate (the exact-refinement pair scoring
         # is O(W * C^2 * nnz) in lookup intermediates) — a quarter wave
         # bounds the peak at 4x less, trading build wall-clock only
-        efc, m, wave = (200, 32, 256) if stage == "big" else (100, 16, 1024)
+        # big at wave=256 ran >1h without finishing (391 waves of
+        # O(W*C^2*nnz) exact refinement; killed) — wave=512 halves the
+        # dispatch count; base200 answers "does construction effort buy
+        # recall" at ~2x the base build cost.
+        efc, m, wave = {
+            "big": (200, 32, 512),
+            "base200": (200, 16, 1024),
+        }.get(stage, (100, 16, 1024))
         idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
         idx.add_sparse_batch(corpus)
         t0 = time.perf_counter()
@@ -98,7 +105,7 @@ def main():
         # sweep would re-measure sq=0); toggling the attribute afterwards
         # is then a real A/B: sq=0 ignores the kept proxy.
         idx.build_index(Params(M=m, efConstruction=efc, waveSize=wave,
-                               sketchQuery=1))
+                               sketchQuery=1), print_progress=True)
         sync(idx.method.graph["level0"])
         emit(stage=stage, event="build_ok", M=m, efC=efc,
              build_s=round(time.perf_counter() - t0, 1))

@@ -689,6 +689,12 @@ class Hnsw(Method):
         every = max(1, num_waves // 10) if getattr(self, "progress", False) else 0
         for wi in range(num_waves):
             if every and wi % every == 0:
+                # sync before logging so the line reflects true device
+                # progress (dispatch is async and the host loop races
+                # ahead until the in-flight queue throttles) — and so a
+                # deferred worker fault surfaces HERE with a wave number
+                # instead of at the final sync. ~10 syncs per build.
+                float(jnp.sum(level0[0]))
                 log("INFO", f"hnsw build: wave {wi + 1}/{num_waves}")
             start = lo + wi * w
             level0, upper = step(
