@@ -86,25 +86,25 @@ def dot_blocked(qcol, qval, xcol, xval):
 def _densify(col: jax.Array, val: jax.Array, v_pad: int) -> jax.Array:
     """Scatter padded-CSR rows into a dense [rows, v_pad] block.
     Column ids are 1-based; padding slots scatter out of range and are
-    dropped. Ids are unique and ascending per row, so the flattened
-    (row-major) scatter indices are sorted and unique — the hints let
-    XLA skip the serialized combine path (measured: the unhinted
-    scatter alone held a 100k sparse sweep at ~100 qps).
+    dropped (sentinel ids PAD_Q/PAD_X remap to v_pad + slot_position:
+    still dropped, but distinct per slot and ascending).
 
-    Padding slots (sentinel ids PAD_Q/PAD_X — anything past v_pad) are
-    remapped to v_pad + slot_position: still out of range (dropped by
-    mode="drop"), but DISTINCT per slot and ascending, because a row
-    with two padding slots would otherwise scatter the SAME (row,
-    sentinel-1) index twice — violating unique_indices, which is
-    undefined behavior that XLA:TPU's sorted-unique fast path is
-    entitled to (and was observed to) miscompile in some program
-    contexts, zeroing table rows."""
+    NO scatter hints, deliberately. The hinted form
+    (unique_indices=True, indices_are_sorted=True) MISCOMPILES on
+    XLA:TPU even with honest hints — measured on-device against
+    host-oracle tables (scripts/r2_sparse_scan_diag4.py): the hinted
+    scatter returned wrong table entries in 16-row bands (20k bad
+    entries on a 2048-row corpus chunk, maxabs ~3) for both query and
+    corpus tables, deterministically, after the duplicate-sentinel UB
+    was already fixed. The unhinted scatter is exact and only ~6%
+    slower in the same program (92.7 vs 87.2 ms). Do not reintroduce
+    the hints without re-running diag4 on the chip."""
     r, nnz = col.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, nnz), 0)
     slot = jax.lax.broadcasted_iota(jnp.int32, (r, nnz), 1)
     cols0 = jnp.where(col > v_pad, v_pad + 1 + slot, col) - 1
     return jnp.zeros((r, v_pad), jnp.float32).at[rows, cols0].add(
-        val, mode="drop", unique_indices=True, indices_are_sorted=True
+        val, mode="drop"
     )
 
 
