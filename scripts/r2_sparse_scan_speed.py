@@ -132,6 +132,40 @@ def main():
     emit(kind="qdense_bf16_pipeline",
          ms=round(timeit(qdense_bf16, qd, cols, vals) * 1e3, 1))
 
+    # 6. post-hint-fix correctness: does the blocked MXU formulation now
+    # agree with the verified gather path on device? (The hinted-scatter
+    # miscompile was the prime suspect for its 0.84-recall wrongness;
+    # commit 958dea3 dropped the hints.) Compare raw dots on head/mid/
+    # tail chunks — agreement here re-opens the ~6x MXU path.
+    @jax.jit
+    def both_dots(qdv, c, v):
+        xd = S._densify(c, v, v_pad)
+        g_mxu = jax.lax.dot_general(
+            qdv, xd, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        g_gather = S.dot_qdense(qdv, c, v)
+        return jnp.max(jnp.abs(g_mxu - g_gather))
+
+    for tag, j in (("head", 0), ("mid", nch // 2), ("tail", nch - 1)):
+        emit(kind="blocked_vs_gather", chunk=tag,
+             maxabs=float(both_dots(qd, cols[j], vals[j])))
+
+    # same check inside lax.map (the miscompile was context-dependent)
+    @jax.jit
+    def both_dots_mapped(qdv, c, v):
+        def one(a):
+            xd = S._densify(a[0], a[1], v_pad)
+            g_mxu = jax.lax.dot_general(
+                qdv, xd, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return jnp.max(jnp.abs(g_mxu - S.dot_qdense(qdv, a[0], a[1])))
+        return jnp.max(jax.lax.map(one, (c, v)))
+
+    emit(kind="blocked_vs_gather_mapped",
+         maxabs=float(both_dots_mapped(qd, cols, vals)))
+
 
 if __name__ == "__main__":
     main()
