@@ -215,3 +215,53 @@ def test_sketch_backends_agree(rng):
     jax.clear_caches()
     np.testing.assert_allclose(outs["gather"], outs["densify"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_densify_matches_numpy_oracle_with_ragged_padding(rng):
+    """_densify vs a float64 numpy scatter oracle, on rows whose padding
+    slot COUNT varies (multiple sentinel slots per row — the shape that
+    originally produced duplicate out-of-range scatter indices)."""
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    v_pad = 256
+    rows = []
+    for nnz_real in (0, 1, 5, 12, 12, 3):  # ragged: 0..12 real ids
+        ids = np.sort(rng.choice(np.arange(1, v_pad + 1), size=nnz_real,
+                                 replace=False)).astype(np.int32)
+        rows.append((ids, rng.standard_normal(nnz_real).astype(np.float32)))
+    nnz = 12
+    col = np.full((len(rows), nnz), int(S.PAD_X), np.int32)
+    val = np.zeros((len(rows), nnz), np.float32)
+    for i, (ids, vs) in enumerate(rows):
+        col[i, : len(ids)] = ids
+        val[i, : len(ids)] = vs
+    got = np.asarray(S._densify(jnp.asarray(col), jnp.asarray(val), v_pad))
+    want = np.zeros((len(rows), v_pad), np.float64)
+    for i, (ids, vs) in enumerate(rows):
+        np.add.at(want[i], ids - 1, vs.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)
+
+
+def test_no_scatter_hints_in_package():
+    """XLA:TPU miscompiles hinted scatters (unique_indices /
+    indices_are_sorted) even when the hints are honest — proven
+    on-device against host-oracle tables (scripts/r2_sparse_scan_diag4.py:
+    wrong entries in 16-row bands; the unhinted scatter is exact at ~6%
+    cost). CPU tests cannot catch the miscompile, so this lint pins the
+    fix at the source level: no scatter hints anywhere in the package."""
+    import io
+    import pathlib
+    import tokenize
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "tpu_knn"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        code_names = set()
+        for tok in tokenize.generate_tokens(io.StringIO(f.read_text()).readline):
+            if tok.type == tokenize.NAME:
+                code_names.add(tok.string)
+        if {"unique_indices", "indices_are_sorted"} & code_names:
+            offenders.append(str(f))
+    assert not offenders, f"scatter hints reintroduced in: {offenders}"
