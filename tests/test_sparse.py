@@ -265,3 +265,61 @@ def test_no_scatter_hints_in_package():
         if {"unique_indices", "indices_are_sorted"} & code_names:
             offenders.append(str(f))
     assert not offenders, f"scatter hints reintroduced in: {offenders}"
+
+
+def test_pair_dots_backends_agree(rng):
+    """pair_dots_qdense: the gather backend (a-side densify +
+    take_along_axis) and the MXU backend (both-sides densify + batched
+    matmul) against an f64 dict oracle, on ragged rows with multi-slot
+    sentinel padding and out-of-vocabulary a-side ids (both must drop
+    them). The MXU backend exists because the gather formulation is the
+    isolated remaining suspect for the 100k sparse wave-program TPU
+    worker fault (scripts/r2_sparse_crash_bisect.py)."""
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    b, c, c2, nnz_a, nnz_b, v_pad = 3, 5, 4, 8, 6, 256
+
+    def mk(bn, cn, nnz, pad, oov=False):
+        col = np.full((bn, cn, nnz), pad, np.int32)
+        val = np.zeros((bn, cn, nnz), np.float32)
+        hi = v_pad + (64 if oov else 0)  # some ids beyond the vocabulary
+        for i in range(bn):
+            for j in range(cn):
+                k = int(rng.integers(1, nnz))
+                ids = np.sort(rng.choice(np.arange(1, hi + 1), size=k, replace=False))
+                col[i, j, :k] = ids
+                val[i, j, :k] = rng.standard_normal(k)
+        return col, val
+
+    acol, aval = mk(b, c, nnz_a, int(S.PAD_Q), oov=True)
+    bcol, bval = mk(b, c2, nnz_b, int(S.PAD_X))
+    want = np.zeros((b, c, c2))
+    for i in range(b):
+        for j in range(c):
+            da = {
+                int(t): float(v)
+                for t, v in zip(acol[i, j], aval[i, j])
+                if 1 <= t <= v_pad
+            }
+            for l in range(c2):
+                want[i, j, l] = sum(
+                    da.get(int(t), 0.0) * float(v)
+                    for t, v in zip(bcol[i, l], bval[i, l])
+                    if 1 <= t <= v_pad
+                )
+    args = (jnp.asarray(acol), jnp.asarray(aval), jnp.asarray(bcol), jnp.asarray(bval))
+    old = S.PAIR_BACKEND
+    try:
+        for backend in ("gather", "mxu"):
+            S.PAIR_BACKEND = backend
+            got = np.asarray(S.pair_dots_qdense(*args, v_pad))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, err_msg=backend)
+            # blocked lax.map path (budget forces bk=1)
+            got = np.asarray(S.pair_dots_qdense(*args, v_pad, budget=(c + c2) * v_pad))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5, atol=1e-5, err_msg=f"{backend} blocked"
+            )
+    finally:
+        S.PAIR_BACKEND = old

@@ -37,8 +37,23 @@ from .base import Method, stream_range_results
 SPARSE_SCAN_QDENSE = True
 
 
+def _densify_in_jit(space, qenc: dict, data) -> dict:
+    """Attach the densified sparse query table INSIDE the scan program
+    (loop-invariant; XLA hoists the scatter out of the chunk scan).
+    Building it eagerly before the jit cost ~460 ms of per-op dispatch
+    round-trips over the tunnel per 512-query batch — more than half
+    the production wall (r2_sparse_scan_profile.py, 2026-08-18)."""
+    if not SPARSE_SCAN_QDENSE or not hasattr(space, "densify_queries"):
+        return qenc
+    extra = getattr(data, "extra", None)
+    if not extra or "vocab_mark" not in extra:
+        return qenc
+    return space.densify_queries(qenc, {"vocab_mark": extra["vocab_mark"]})
+
+
 @partial(jax.jit, static_argnames=("space", "k", "chunk", "precision"))
 def _knn_device(space, qenc, data, k: int, chunk: int, precision: str):
+    qenc = _densify_in_jit(space, qenc, data)
     nq = qenc["q"].shape[0] if "q" in qenc else next(iter(qenc.values())).shape[0]
     n_pad = data.ids.shape[0]
     num_chunks = n_pad // chunk
@@ -156,6 +171,7 @@ def _knn_device_twopass(
     from ..ops import pallas_scan as PS
     from ..ops.graph import gather_row_groups, score_gathered
 
+    qenc = _densify_in_jit(space, qenc, data)
     nq = qenc["q"].shape[0] if "q" in qenc else next(iter(qenc.values())).shape[0]
     n_pad = data.ids.shape[0]
     num_chunks = n_pad // chunk
@@ -298,6 +314,7 @@ def _knn_device_twopass(
 
 @partial(jax.jit, static_argnames=("space", "chunk", "precision"))
 def _all_dists_device(space, qenc, data, chunk: int, precision: str):
+    qenc = _densify_in_jit(space, qenc, data)
     n_pad = data.ids.shape[0]
     num_chunks = n_pad // chunk
 
@@ -319,6 +336,7 @@ def _range_counts_device(space, qenc, data, radius, chunk: int, precision: str):
     scan, never materializing [Q, N] (reference range semantics,
     seqsearch.cc:109-141; padded corpus rows carry a 1e30 term so the
     radius test drops them)."""
+    qenc = _densify_in_jit(space, qenc, data)
     nq = _range_nq(qenc)
     num_chunks = data.ids.shape[0] // chunk
 
@@ -336,6 +354,7 @@ def _range_collect_device(space, qenc, data, radius, cap: int, chunk: int, preci
     """Hits within ``radius`` as ascending ([Q, cap] dists, positions);
     slots past each query's count are (+inf, -1). Streaming top-``cap``
     merge per chunk — device memory stays O(Q * (cap + chunk))."""
+    qenc = _densify_in_jit(space, qenc, data)
     nq = _range_nq(qenc)
     num_chunks = data.ids.shape[0] // chunk
 
@@ -394,21 +413,12 @@ class SeqSearch(Method):
         super().set_query_time_params(params)
 
     def _scan_queries(self, points) -> dict:
-        """Encode queries for the scan; dot-factored sparse spaces get
-        the densified query table attached up front so every corpus
-        chunk scores via the dot_qdense/intersect_count_qdense gather
-        (HBM traffic ~ corpus nnz * Q) instead of re-densifying corpus
-        chunks over the vocabulary (traffic ~ V * chunks, plus a
-        [Q, V]-deep matmul whose FLOPs are ~1/density wasted)."""
-        qenc = self.space.encode_queries(points)
-        if not SPARSE_SCAN_QDENSE or not getattr(self.space, "dense_dot_ok", False):
-            return qenc
-        vm = None
-        if self.data is not None and getattr(self.data, "extra", None) is not None:
-            vm = self.data.extra.get("vocab_mark")
-        if vm is None:
-            return qenc
-        return self.space.densify_queries(qenc, {"vocab_mark": vm})
+        """Encode queries for the scan. Dot-factored sparse spaces get
+        their densified query table (q_dense) attached INSIDE the device
+        programs (_densify_in_jit): the eager table build this replaces
+        cost ~460 ms of per-op dispatch round-trips per 512-query batch
+        over the tunnel — more than the whole single-pass scan."""
+        return self.space.encode_queries(points)
 
     def knn(self, points, k: int):
         if self.data is None:
@@ -418,11 +428,17 @@ class SeqSearch(Method):
         kk = min(k, n_pad)
         # two-pass group-min path pays off once the corpus dwarfs the
         # (k+margin)*128 candidate re-scan; small corpora keep the
-        # single-pass merge. (Even for non-affine spaces whose pass 1 is
-        # a full block scan, the per-chunk group-min is far cheaper than
-        # the single-pass path's per-chunk lax.top_k merge.)
+        # single-pass merge. (Even for non-affine DENSE spaces whose
+        # pass 1 is a full block scan, the per-chunk group-min is far
+        # cheaper than the single-pass path's per-chunk lax.top_k
+        # merge.) Sparse spaces opt out (twopass_ok=False): their pass-2
+        # re-score gathers [Q, kg*128, nnz] elements from the q_dense
+        # table, which measured 6.5x the whole single-pass program
+        # (647.8 vs 98.7 ms device at 100k x 512q on v5e,
+        # r2_sparse_scan_profile.py).
         use_twopass = (
-            self._chunk % 128 == 0
+            getattr(self.space, "twopass_ok", True)
+            and self._chunk % 128 == 0
             and n_pad % 128 == 0
             and n_pad >= 8 * (kk + 2) * 128
         )

@@ -160,22 +160,43 @@ def intersect_count_qdense(qd, xcol):
     return jnp.sum(hits * real, axis=2)
 
 
+#: Pairwise-dot engine for the construction heuristic:
+#:   "mxu"    = densify BOTH candidate sides over the padded vocabulary
+#:              and contract them with one batched matmul — no gathers at
+#:              all. ~v_pad/nnz more FLOPs than needed, but they land on
+#:              the MXU (milliseconds per wave at bench scales), and it
+#:              avoids the giant take_along_axis the gather backend runs.
+#:   "gather" = densify the a-side only and take_along_axis b-elements
+#:              from the tables. Fewer FLOPs, but the [bk, C, C2*nnz]
+#:              table gather is the isolated remaining suspect for the
+#:              100k sparse wave-program TPU worker fault (every
+#:              exactPairs variant crashed at the same early-wave sync
+#:              while exactPairs-off builds completed —
+#:              scripts/r2_sparse_crash_bisect.py, 2026-08-18).
+#: Correctness of the both-sides-densify formulation on TPU was
+#: re-proven after the scatter-hint fix (blocked_vs_gather maxabs ~1e-5
+#: on-device, standalone and under lax.map — r2_sparse_scan_speed.py).
+PAIR_BACKEND = "mxu"
+
+
 def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
     """Pairwise dots of per-row candidate sets: [B, C, C2].
 
     acol/aval [B, C, nnz_a] are the "query-side" CSR rows, bcol/bval
     [B, C2, nnz_b] the scored rows (typically the same gathered
     candidate set — a gram matrix for the HNSW neighbor-selection
-    heuristic, reference hnsw.h:129-168). Each a-row is densified into a
-    [v_pad] table and b-elements gather from it — no searchsorted.
-    Blocked over B with lax.map so the [bk, C, v_pad] tables stay within
-    ``budget`` f32 elements.
+    heuristic, reference hnsw.h:129-168). Densified per PAIR_BACKEND
+    (see above), blocked over B with lax.map so the [bk, *, v_pad]
+    tables stay within ``budget`` f32 elements.
     """
     b, c, nnz_a = acol.shape
     c2, nnz_b = bcol.shape[1], bcol.shape[2]
-    bk = max(1, min(b, budget // max(c * v_pad, 1)))
+    mxu = PAIR_BACKEND == "mxu"
+    per_row = (c + c2 if mxu else c) * v_pad
+    block = _pair_dots_block_mxu if mxu else _pair_dots_block
+    bk = max(1, min(b, budget // max(per_row, 1)))
     if bk == b:
-        return _pair_dots_block(acol, aval, bcol, bval, v_pad)
+        return block(acol, aval, bcol, bval, v_pad)
     bp = ((b + bk - 1) // bk) * bk
 
     def padb(x):
@@ -186,10 +207,24 @@ def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
         return x.reshape((bp // bk, bk) + x.shape[1:])
 
     out = jax.lax.map(
-        lambda a: _pair_dots_block(a[0], a[1], a[2], a[3], v_pad),
+        lambda a: block(a[0], a[1], a[2], a[3], v_pad),
         (padb(acol), padb(aval), padb(bcol), padb(bval)),
     )
     return out.reshape(bp, c, c2)[:b]
+
+
+def _pair_dots_block_mxu(ac, av, bc, bv, v_pad: int):
+    bk, c, nnz_a = ac.shape
+    c2, nnz_b = bc.shape[1], bc.shape[2]
+    ad = _densify(ac.reshape(bk * c, nnz_a), av.reshape(bk * c, nnz_a), v_pad)
+    bd = _densify(bc.reshape(bk * c2, nnz_b), bv.reshape(bk * c2, nnz_b), v_pad)
+    return jnp.einsum(
+        "bcv,bdv->bcd",
+        ad.reshape(bk, c, v_pad),
+        bd.reshape(bk, c2, v_pad),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pair_dots_block(ac, av, bc, bv, v_pad: int):

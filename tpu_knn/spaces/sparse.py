@@ -128,6 +128,11 @@ class SparseSpaceBase(Space):
     np_dtype = np.float32
     #: Sparse blocks materialize [Q, C, nnz]; keep corpus chunks modest.
     preferred_chunk = 256
+    #: The exact scan's two-pass group-min path re-scores candidates via
+    #: a [Q, kg*128, nnz] q_dense gather that measured 6.5x the whole
+    #: single-pass program at 100k (methods/seq_search.py knn) — sparse
+    #: scans stay single-pass.
+    twopass_ok = False
     binary = False  # presence-only variants force values to 1
     #: subclasses whose distance factors through dot / intersection
     #: counts opt into the dense-after-scatter fast path
