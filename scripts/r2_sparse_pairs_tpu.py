@@ -15,6 +15,8 @@ Usage: python scripts/r2_sparse_pairs_tpu.py <stage>
   scan:    production exact-scan wall qps at chunkSize 256/1024/2048
   base:    efC=100 M=16 build (exactBase+exactPairs DEFAULT ON) + sweep
   base200: efC=200 M=16 ditto
+  napp:    NAPP numPivot=512 numPrefix=32 + minTimes sweep (the ANN
+           comparison row, re-scored against the f64 host gold)
 Appends JSON lines to /tmp/r2_spairs.jsonl. One stage per process (a
 worker crash kills the process; ~3-5 min recovery before the next).
 """
@@ -61,12 +63,10 @@ def main():
     if os.path.exists(gpath):
         gold = np.load(gpath)["ids"]
     else:
-        ex = Index("cosinesimil_sparse", method="seq_search",
-                   data_type=DataKind.SPARSE)
-        ex.add_sparse_batch(corpus)
-        ex.build_index()
-        _, gold = ex.knn_query_batch(q, K)
-        gold = np.asarray(gold)
+        # HOST f64 truth, never a device self-gold (see sparse_gold.py).
+        from sparse_gold import host_f64_gold
+
+        gold = host_f64_gold(corpus, q, k=K, vocab=30_000)
         np.savez(gpath, ids=gold)
 
     try:
@@ -86,6 +86,26 @@ def main():
                 sync(d)
                 dt = time.perf_counter() - t0
                 emit(stage="scan", chunk=chunk, qps=round(NQ / dt, 1),
+                     recall_at_10=round(recall(i, gold), 4))
+            return
+
+        if stage == "napp":
+            idx = Index("cosinesimil_sparse", method="napp",
+                        data_type=DataKind.SPARSE)
+            idx.add_sparse_batch(corpus)
+            t0 = time.perf_counter()
+            idx.build_index(Params(numPivot=512, numPivotIndex=32))
+            emit(stage="napp", event="build_ok",
+                 build_s=round(time.perf_counter() - t0, 1))
+            for mt in (2, 3, 4):
+                idx.set_query_time_params(Params(minTimes=mt))
+                d, i = idx.knn_query_batch(q, K)
+                sync(d)
+                t0 = time.perf_counter()
+                d, i = idx.knn_query_batch(q, K)
+                sync(d)
+                dt = time.perf_counter() - t0
+                emit(stage="napp", minTimes=mt, qps=round(NQ / dt, 1),
                      recall_at_10=round(recall(i, gold), 4))
             return
 

@@ -54,12 +54,10 @@ def main():
     if os.path.exists(gpath):
         gold = np.load(gpath)["ids"]
     else:
-        ex = Index("cosinesimil_sparse", method="seq_search",
-                   data_type=DataKind.SPARSE)
-        ex.add_sparse_batch(corpus)
-        ex.build_index()
-        _, gold = ex.knn_query_batch(q, K)
-        gold = np.asarray(gold)
+        # HOST f64 truth, never a device self-gold (see sparse_gold.py).
+        from sparse_gold import host_f64_gold
+
+        gold = host_f64_gold(corpus, q, k=K, vocab=30_000)
         np.savez(gpath, ids=gold)
 
     try:
