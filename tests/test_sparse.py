@@ -323,3 +323,88 @@ def test_pair_dots_backends_agree(rng):
             )
     finally:
         S.PAIR_BACKEND = old
+
+
+def test_gather_scoring_backends_agree(rng):
+    """support_dots (query-support equality match) must score gathered
+    graph candidates identically to the densified-query table path, for
+    the dot family and the jaccard membership variant, end-to-end
+    through the hnsw traversal."""
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    xs = _rand_sparse(rng, 80, universe=300, max_nnz=16)
+    qs = _rand_sparse(rng, 7, universe=300, max_nnz=16)
+    old = S.GATHER_SCORING
+    try:
+        for space_name in ("cosinesimil_sparse", "sparse_jaccard"):
+            pts = (
+                [(ids, np.ones_like(v)) for ids, v in xs]
+                if "jaccard" in space_name
+                else xs
+            )
+            qq = (
+                [(ids, np.ones_like(v)) for ids, v in qs]
+                if "jaccard" in space_name
+                else qs
+            )
+            idx = Index(space_name, method="hnsw", data_type=DataKind.SPARSE)
+            idx.add_sparse_batch(pts)
+            idx.build_index(Params(M=8, efConstruction=40, waveSize=32))
+            idx.set_query_time_params(Params(efSearch=40))
+            outs = {}
+            for mode in ("qdense", "support"):
+                S.GATHER_SCORING = mode
+                d, ids = idx.knn_query_batch(qq, 5)
+                outs[mode] = (np.asarray(d), np.asarray(ids))
+            np.testing.assert_allclose(
+                outs["qdense"][0], outs["support"][0], rtol=1e-5, atol=1e-6,
+                err_msg=space_name,
+            )
+            np.testing.assert_array_equal(
+                outs["qdense"][1], outs["support"][1], err_msg=space_name
+            )
+
+    finally:
+        S.GATHER_SCORING = old
+
+
+def test_support_dots_matches_oracle(rng):
+    """support_dots/support_found vs a dict oracle on ragged data with
+    both padding sentinels present."""
+    import jax.numpy as jnp
+
+    from tpu_knn.ops import sparse as S
+
+    b, k, nnz, t = 3, 5, 6, 4
+    qcol = np.full((b, t), int(S.PAD_Q), np.int64)
+    qval = np.zeros((b, t), np.float32)
+    cols = np.full((b, k, nnz), int(S.PAD_X), np.int64)
+    vals = np.zeros((b, k, nnz), np.float32)
+    for i in range(b):
+        nq = int(rng.integers(1, t + 1))
+        qcol[i, :nq] = np.sort(rng.choice(np.arange(1, 40), nq, replace=False))
+        qval[i, :nq] = rng.standard_normal(nq)
+        for j in range(k):
+            nx = int(rng.integers(1, nnz + 1))
+            cols[i, j, :nx] = np.sort(rng.choice(np.arange(1, 40), nx, replace=False))
+            vals[i, j, :nx] = rng.standard_normal(nx)
+    want_dot = np.zeros((b, k))
+    want_found = np.zeros((b, k, nnz))
+    for i in range(b):
+        dq = {int(c): float(v) for c, v in zip(qcol[i], qval[i]) if c < int(S.PAD_Q)}
+        for j in range(k):
+            for l in range(nnz):
+                c = int(cols[i, j, l])
+                if c == int(S.PAD_X):
+                    continue
+                want_dot[i, j] += dq.get(c, 0.0) * float(vals[i, j, l])
+                want_found[i, j, l] = 1.0 if c in dq else 0.0
+    got = np.asarray(S.support_dots(
+        jnp.asarray(qcol, jnp.int32), jnp.asarray(qval),
+        jnp.asarray(cols, jnp.int32), jnp.asarray(vals)))
+    np.testing.assert_allclose(got, want_dot, rtol=1e-5, atol=1e-6)
+    got_f = np.asarray(S.support_found(
+        jnp.asarray(qcol, jnp.int32), jnp.asarray(cols, jnp.int32)))
+    np.testing.assert_array_equal(got_f, want_found)

@@ -178,6 +178,46 @@ def intersect_count_qdense(qd, xcol):
 #: on-device, standalone and under lax.map — r2_sparse_scan_speed.py).
 PAIR_BACKEND = "mxu"
 
+#: Beam-traversal candidate scoring formulation (SparseDotBase
+#: .gathered_block): "qdense" looks each candidate element up in the
+#: densified [B, v_pad] query table (take_along_axis); "support"
+#: matches candidate column ids against the query's own <=nnz-wide
+#: support by equality (support_dots below). A/B flag for the chip —
+#: exact sparse traversal measures 162 qps at ef=100 while the SAME
+#: scoring math in the scan program does 3.5k, so the table gather
+#: inside the while_loop is the prime suspect.
+GATHER_SCORING = "qdense"
+
+
+def support_dots(qcol, qval, cols, vals):
+    """Per-candidate dots WITHOUT the densified-query table:
+
+        dot[b, k] = sum_j vals[b,k,j] * qval[b, t : qcol[b,t] == cols[b,k,j]]
+
+    qcol i32[B, T] ascending (PAD_Q padding), qval f32[B, T] (0 at
+    padding), cols i32[B, K, nnz] (PAD_X padding), vals f32[B, K, nnz].
+    Column ids are unique per row, so at most one t matches each (b,k,j)
+    and the sum over t is exact; both padding sentinels are distinct
+    and qval is 0 at padded slots, so padding contributes nothing.
+
+    The [B, K, nnz, T] equality mask is generated inside the reduce
+    fusion (VPU compare/select/add) rather than materialized — this
+    trades the q_dense table's element-granular HBM gathers for
+    B*K*nnz*T on-core flops.
+    """
+    eq = cols[:, :, :, None] == qcol[:, None, None, :]  # [B, K, nnz, T]
+    qmatch = jnp.sum(jnp.where(eq, qval[:, None, None, :], 0.0), axis=-1)
+    return jnp.sum(qmatch * vals, axis=-1)
+
+
+def support_found(qcol, cols):
+    """Membership counterpart of support_dots: for each candidate
+    element, whether its column id appears in the query's support —
+    the intersection primitive for the binary/jaccard family.
+    Returns f32[B, K, nnz] of 0/1."""
+    eq = cols[:, :, :, None] == qcol[:, None, None, :]
+    return jnp.any(eq, axis=-1).astype(jnp.float32)
+
 
 def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
     """Pairwise dots of per-row candidate sets: [B, C, C2].

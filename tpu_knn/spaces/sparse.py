@@ -312,9 +312,20 @@ class SparseDotBase(SparseSpaceBase):
         TPU worker on 100k sparse graph queries. Returns None (fall back
         to the lookup path) when no q_dense is available (unbounded
         vocabularies)."""
-        qd = qenc.get("q_dense")
         cols = extra.get("cols")
-        if qd is None or cols is None or getattr(cols, "ndim", 0) != 3:
+        if cols is None or getattr(cols, "ndim", 0) != 3:
+            return None
+        qcol, qval = qenc.get("qcol"), qenc.get("qval")
+        if (
+            S.GATHER_SCORING == "support"
+            and qcol is not None
+            and qval is not None
+            and getattr(qcol, "ndim", 0) == 2
+        ):
+            dot = S.support_dots(qcol, qval, cols, rows)
+            return self._post_gathered_dot(qenc, rows, dot) + pad
+        qd = qenc.get("q_dense")
+        if qd is None:
             return None
         b, k, nnz = cols.shape
         v = qd.shape[1]
@@ -578,19 +589,30 @@ class SparseJaccardSpace(SparseSpaceBase):
     def gathered_block(self, qenc, rows, pad, extra):
         """Graph-candidate jaccard via the densified presence table:
         inter[b, k] = #(candidate ids present in query b)."""
-        qd = qenc.get("q_dense")
         cols = extra.get("cols")
         xlen = extra.get("len")
-        if qd is None or cols is None or xlen is None or cols.ndim != 3:
+        if cols is None or xlen is None or cols.ndim != 3:
             return None
-        b, k, nnz = cols.shape
-        v = qd.shape[1]
-        idx = jnp.clip(cols.reshape(b, k * nnz) - 1, 0, v - 1)
-        hit = jnp.take_along_axis(qd, idx, axis=1).reshape(b, k, nnz)
-        # mask padded/out-of-range candidate slots explicitly (their
-        # clipped index may land on a real query term)
-        real = (cols >= 1) & (cols <= v)
-        inter = jnp.sum(jnp.where(real, hit, 0.0), axis=-1)
+        qcol = qenc.get("qcol")
+        if (
+            S.GATHER_SCORING == "support"
+            and qcol is not None
+            and getattr(qcol, "ndim", 0) == 2
+        ):
+            # padding never matches (PAD_Q != PAD_X), so no real-mask
+            inter = jnp.sum(S.support_found(qcol, cols), axis=-1)
+        else:
+            qd = qenc.get("q_dense")
+            if qd is None:
+                return None
+            b, k, nnz = cols.shape
+            v = qd.shape[1]
+            idx = jnp.clip(cols.reshape(b, k * nnz) - 1, 0, v - 1)
+            hit = jnp.take_along_axis(qd, idx, axis=1).reshape(b, k, nnz)
+            # mask padded/out-of-range candidate slots explicitly (their
+            # clipped index may land on a real query term)
+            real = (cols >= 1) & (cols <= v)
+            inter = jnp.sum(jnp.where(real, hit, 0.0), axis=-1)
         union = qenc["qlen"][:, None] + xlen - inter
         d = jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1.0), 0.0)
         return d + pad
