@@ -124,12 +124,20 @@ def main():
                             print_progress=True)
             emit(kind="sparse_build_ok", s=round(time.perf_counter() - t0, 1))
             idx.method.sketch_query = 0  # EXACT traversal
-            for ef in (50, 100):
-                idx.set_query_time_params(Params(efSearch=ef))
-                timed_batch(idx, q, "sparse_wall", ef=ef)
-            idx.set_query_time_params(Params(efSearch=100))
-            trace_batch(idx, q, "/tmp/trace_beam_sparse", "sparse_profile",
-                        ef=100)
+            import jax
+
+            from tpu_knn.ops import sparse as S
+
+            for mode in ("qdense", "support"):
+                S.GATHER_SCORING = mode
+                jax.clear_caches()
+                for ef in (50, 100):
+                    idx.set_query_time_params(Params(efSearch=ef))
+                    timed_batch(idx, q, "sparse_wall", ef=ef, scoring=mode)
+                idx.set_query_time_params(Params(efSearch=100))
+                trace_batch(idx, q, f"/tmp/trace_beam_sparse_{mode}",
+                            "sparse_profile", ef=100, scoring=mode)
+            S.GATHER_SCORING = "qdense"
             # the sketch traversal for contrast (same graph)
             idx.method.sketch_query = 1
             idx.set_query_time_params(Params(efSearch=100))
