@@ -102,7 +102,7 @@ def main():
             pts = sift_like(N + NQ, d=128, seed=0)
             corpus, q = pts[:N], pts[N : N + NQ]
             idx = Index("l2", Params(dim=128), method="hnsw")
-            idx.add_batch(corpus)
+            idx.add_dense_batch(corpus)
             t0 = time.perf_counter()
             idx.build_index(Params(M=16, replicateNeighbors=1,
                                    nbrStoreDtype="int8"))

@@ -179,14 +179,18 @@ def intersect_count_qdense(qd, xcol):
 PAIR_BACKEND = "mxu"
 
 #: Beam-traversal candidate scoring formulation (SparseDotBase
-#: .gathered_block): "qdense" looks each candidate element up in the
-#: densified [B, v_pad] query table (take_along_axis); "support"
-#: matches candidate column ids against the query's own <=nnz-wide
-#: support by equality (support_dots below). A/B flag for the chip —
-#: exact sparse traversal measures 162 qps at ef=100 while the SAME
-#: scoring math in the scan program does 3.5k, so the table gather
-#: inside the while_loop is the prime suspect.
-GATHER_SCORING = "qdense"
+#: .gathered_block): "support" matches candidate column ids against the
+#: query's own <=nnz-wide support by equality (support_dots below);
+#: "qdense" looks each candidate element up in the densified [B, v_pad]
+#: query table (take_along_axis). Measured on chip (r2_travprof.jsonl,
+#: 100k docs, 512 queries, exact traversal): support 2,988 qps at
+#: ef=100 / 3,540 at ef=50 vs qdense's 176 / 297 — the q_dense
+#: take_along_axis inside the beam while_loop compiled to a 2.6 s
+#: fusion (spaces/sparse.py gathered_block) while the equality-match
+#: reduce fusion costs ~20 ms for the same batch. Both are exact
+#: (unique column ids per row; padding sentinels disjoint), so this is
+#: purely a formulation choice; "qdense" stays as the A/B arm.
+GATHER_SCORING = "support"
 
 
 def support_dots(qcol, qval, cols, vals):
