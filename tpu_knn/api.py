@@ -303,13 +303,27 @@ class Index:
         return [self._trim(dr, ir) for dr, ir in zip(d, i)]
 
     def range_query(self, point: Any, radius: float) -> QueryResult:
+        return self.range_query_batch(
+            [point] if self.data_type is not DataKind.DENSE
+            else np.asarray(point)[None, :],
+            radius,
+        )[0]
+
+    def range_query_batch(self, points: Any, radius: float) -> list[QueryResult]:
+        """Batched range search: one QueryResult per query (ids/dists of
+        every corpus point within ``radius``). The reference's RangeQuery
+        is per-point (nmslib_c.cpp RangeSearch loop); here the batch
+        dimension is the TPU's parallelism, same as knn_query_batch —
+        results stream chunked device-side (no [Q, N] host matrix)."""
         self._ensure_built()
-        pts = self._prep_query_points([point] if self.data_type is not DataKind.DENSE else np.asarray(point)[None, :])
+        pts = self._prep_query_points(points)
         res = self.method.range(pts, radius)
-        ids, dists = res[0]
-        if self.dist_type is DistKind.INT:
-            dists = np.rint(dists)
-        return QueryResult(ids, dists)
+        out = []
+        for ids, dists in res:
+            if self.dist_type is DistKind.INT:
+                dists = np.rint(dists)
+            out.append(QueryResult(ids, dists))
+        return out
 
     def _prep_query_points(self, points: Any):
         if self.data_type is DataKind.SPARSE:

@@ -42,6 +42,7 @@ from ..core.errors import IndexNotBuiltError, SpaceIncompatibleError
 from ..core.params import ParamManager, Params
 from ..core.registry import register_method
 from ..ops import graph as G
+from ..ops import qpack as Q
 from ..ops.topk import INF
 from ..utils.logging import log
 from ..utils.rng import np_rng
@@ -380,6 +381,33 @@ def make_wave_step(
 
 @partial(jax.jit, static_argnames=("space", "ef", "k", "expand"))
 def _hnsw_search(
+    space, qenc, data, level0, upper, entry, ef: int, k: int, expand: int,
+    nbr_store=None,
+):
+    return _search_core(space, qenc, data, level0, upper, entry, ef, k,
+                        expand, nbr_store)
+
+
+@partial(jax.jit, static_argnames=("space", "qmeta", "entry", "ef", "k", "expand"))
+def _hnsw_search_packed(
+    space, qbuf, qmeta, data, level0, upper, entry: int, ef: int, k: int,
+    expand: int, nbr_store=None,
+):
+    """Packed-transport variant (ops/qpack.py): ONE uploaded query
+    buffer in, ONE packed [B, 2k] result array out. The unpack, the
+    derived query terms (space.complete_queries) and the result pack
+    all run inside this program, so a remote-device query batch costs
+    one upload + one dispatch + one download instead of a round trip
+    per query array / eager term / result array."""
+    qenc = space.complete_queries(Q.unpack_device(qbuf, qmeta))
+    d, ids, nd = _search_core(
+        space, qenc, data, level0, upper, jnp.int32(entry), ef, k, expand,
+        nbr_store,
+    )
+    return Q.pack_results(d, ids), nd
+
+
+def _search_core(
     space, qenc, data, level0, upper, entry, ef: int, k: int, expand: int,
     nbr_store=None,
 ):
@@ -825,8 +853,12 @@ class Hnsw(Method):
     def knn(self, points, k: int):
         if self.graph is None:
             raise IndexNotBuiltError("hnsw: index not built")
-        qenc = self.space.encode_queries(points)
         ef = max(self.ef_search, k)
+        if Q.PACKED_QUERIES and not (self._proxy is not None and self.sketch_query):
+            out = self._knn_packed(points, k, ef)
+            if out is not None:
+                return out
+        qenc = self.space.encode_queries(points)
         if self._proxy is not None and self.sketch_query:
             pspace, pdata, r_mat = self._proxy
             qenc_p = self.space.sketch_queries(qenc, r_mat)
@@ -843,6 +875,24 @@ class Hnsw(Method):
             nbr_store=self._get_nbr_store(),
         )
         self._add_dist_comps(nd)
+        return self._finalize_knn(d, ids)
+
+    def _knn_packed(self, points, k: int, ef: int):
+        """One-upload / one-download query batch (ops/qpack.py). Returns
+        None when the space can't express its query encode as host
+        arrays + in-jit completion (caller falls back to eager)."""
+        qhost = self.space.encode_queries_host(points)
+        if qhost is None:
+            return None
+        buf, meta = Q.pack_host(qhost)
+        packed, nd = _hnsw_search_packed(
+            self.space, jnp.asarray(buf), meta, self.data,
+            self.graph["level0"], tuple(self._upper), int(self._entry),
+            ef, k, self._effective_expand(ef),
+            nbr_store=self._get_nbr_store(),
+        )
+        self._add_dist_comps(nd)
+        d, ids = Q.unpack_results(packed, k)
         return self._finalize_knn(d, ids)
 
     def range(self, points, radius):

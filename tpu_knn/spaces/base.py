@@ -55,6 +55,22 @@ class Space:
         """points: host-side raw query batch in the store's native format."""
         raise NotImplementedError
 
+    def encode_queries_host(self, points: Any):
+        """Host-only half of the packed query transport (ops/qpack.py):
+        return a dict of NUMPY arrays such that uploading them and then
+        applying :meth:`complete_queries` inside the search jit
+        reproduces :meth:`encode_queries`. Spaces whose query encode
+        needs eager device work they can't express in
+        complete_queries return None (the caller falls back to the
+        eager path). Opt-in per class via SUPPORTS_HOST_QENC."""
+        return None
+
+    def complete_queries(self, qenc):
+        """Derive device-side query terms missing from a packed qenc
+        (runs INSIDE search jits; must be jit-traceable and a no-op on
+        eagerly-encoded dicts that already carry the terms)."""
+        return qenc
+
     # -- distances --
     def block(self, qenc, xchunk, precision: str = "float32"):
         raise NotImplementedError

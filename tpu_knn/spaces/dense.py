@@ -153,6 +153,21 @@ class DenseSpace(Space):
             enc["q_term"] = jnp.asarray(np.asarray(term, np.float32))
         return enc
 
+    #: Packed query transport (ops/qpack.py): subclasses whose query
+    #: encode is pure host numpy + (optionally) a q_term derivable on
+    #: device in complete_queries opt in. Spaces with bespoke
+    #: encode_queries / eager terms (Bregman family, sift-u8, embed,
+    #: fusion, sqfd) stay on the eager path.
+    SUPPORTS_HOST_QENC = False
+
+    def encode_queries_host(self, points):
+        if not self.SUPPORTS_HOST_QENC:
+            return None
+        q = np.asarray(points, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        return {"q": _pad_cols(self._transform_q(q).astype(np.float32))}
+
     def slice_data(self, data: DenseDeviceData, start, size) -> dict:
         xc = {"x": jax.lax.dynamic_slice_in_dim(data.vecs, start, size, 0)}
         xc["pad"] = jax.lax.dynamic_slice_in_dim(data.extra["pad"], start, size, 0)
@@ -177,6 +192,8 @@ class LpSpaceBase(DenseSpace):
     through the MXU norm identity; p in {1, inf} and generic p use the
     blocked VPU path."""
 
+    SUPPORTS_HOST_QENC = True
+
     def __init__(self, params: Params | None = None, p: float = 2.0):
         super().__init__(params)
         self.p = float(p)
@@ -187,6 +204,14 @@ class LpSpaceBase(DenseSpace):
 
     def _term_q(self, v):
         return D.sq_norms(jnp.asarray(v)) if self.p == 2.0 else None
+
+    def complete_queries(self, qenc):
+        # packed transport: |q|^2 on device (padding columns are zero,
+        # so the padded-row norm equals the eager unpadded one)
+        if self.p == 2.0 and "q_term" not in qenc:
+            qenc = dict(qenc)
+            qenc["q_term"] = D.sq_norms(qenc["q"])
+        return qenc
 
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0) if self.p == 2.0 else None
@@ -260,6 +285,8 @@ class CosineSpace(DenseSpace):
     """1 - cos. Rows pre-normalized at encode, matching the reference's
     HNSW optimization (hnsw.cc:441-446) but applied universally."""
 
+    SUPPORTS_HOST_QENC = True
+
     name = "cosinesimil"
 
     def pass1_affine(self):
@@ -281,6 +308,7 @@ class CosineSpace(DenseSpace):
 @register_space("angulardist")
 class AngularSpace(DenseSpace):
     name = "angulardist"
+    SUPPORTS_HOST_QENC = True
 
     def pass1_affine(self):
         return (-1.0, 0.0, 0.0)
@@ -301,6 +329,7 @@ class AngularSpace(DenseSpace):
 @register_space("negdotprod")
 class NegDotProdSpace(DenseSpace):
     name = "negdotprod"
+    SUPPORTS_HOST_QENC = True
 
     def pass1_affine(self):
         return (-1.0, 0.0, 0.0)

@@ -236,6 +236,22 @@ class SparseSpaceBase(Space):
         self._add_query_terms(enc, val, length)
         return enc
 
+    def encode_queries_host(self, points):
+        """Packed query transport (ops/qpack.py): the CSR pack is pure
+        host work and every sparse query term (cosine/querynorm norms
+        from qval, Lp power sums) derives on device in
+        complete_queries, so all sparse families ride one upload."""
+        if type(self).encode_queries is not SparseSpaceBase.encode_queries:
+            return None
+        pts = [
+            p if isinstance(p, SparsePoint) else DataStore.validate_sparse(p)
+            for p in points
+        ]
+        col, val, length = _pack_csr(pts, len(pts), pad_col=S.PAD_Q)
+        if self.binary:
+            val = (np.abs(val) > 0).astype(np.float32)
+        return {"qcol": col, "qval": val, "qlen": length}
+
     def _qdense_values(self, qval: jax.Array) -> jax.Array:
         """Values scattered into the densified query table (jaccard
         overrides with presence indicators)."""
@@ -515,6 +531,16 @@ class SparseLpBase(SparseSpaceBase):
             enc["q_pterm"] = jnp.asarray(
                 np.sum(np.abs(val) ** self.p, axis=1).astype(np.float32)
             )
+
+    def complete_queries(self, qenc):
+        # packed transport: sum |q_i|^p on device (padded qval slots are
+        # zero and contribute nothing for any finite p > 0)
+        if not math.isinf(self.p) and "q_pterm" not in qenc:
+            qenc = dict(qenc)
+            qenc["q_pterm"] = jnp.sum(
+                jnp.abs(qenc["qval"]) ** self.p, axis=1
+            ).astype(jnp.float32)
+        return qenc
 
     def _block_impl(self, qenc, xc, precision):
         if math.isinf(self.p):
