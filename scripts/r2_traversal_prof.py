@@ -69,11 +69,11 @@ def parse_trace(tdir):
 def timed_batch(idx, q, tag, **emit_kw):
     import jax.numpy as jnp
 
+    # knn_query_batch returns host numpy (already blocked): no extra
+    # sync — re-uploading the result biased walls ~80 ms low (r2_wall)
     d, i = idx.knn_query_batch(q, K)
-    float(jnp.sum(jnp.asarray(d)))
     t0 = time.perf_counter()
     d, i = idx.knn_query_batch(q, K)
-    float(jnp.sum(jnp.asarray(d)))
     dt = time.perf_counter() - t0
     emit(kind=tag, wall_ms=round(dt * 1e3, 1), qps=round(len(q) / dt, 1),
          **emit_kw)

@@ -24,6 +24,14 @@ def emit(**kw):
 
 
 def sync(x):
+    # knn_query_batch returns HOST numpy (already blocked): re-wrapping
+    # it in jnp.asarray re-uploads over the tunnel (~80 ms/batch, wall
+    # probe r2_wall.jsonl) and biased every qps row measured through
+    # this helper LOW. Only sync genuine device arrays.
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return float(x.reshape(-1)[:1].sum())
     import jax.numpy as jnp
 
     return float(jnp.sum(jnp.asarray(x)))
