@@ -27,6 +27,7 @@ from ..core.dataset import DataStore, round_up
 from ..core.errors import IndexNotBuiltError
 from ..core.params import ParamManager, Params
 from ..core.registry import register_method
+from ..ops import qpack as QP
 from ..ops import topk as T
 from .base import Method, stream_range_results
 
@@ -136,6 +137,31 @@ def _certificate_ok(vals, k: int, eps):
     vals[:, kg] > vals[:, k-1] + 2*eps for every query, the selected
     groups provably contain the exact top-k."""
     return jnp.all(vals[:, -1] > vals[:, k - 1] + 2.0 * eps)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "space", "qmeta", "k", "chunk", "precision", "pass1_precision", "twopass"
+    ),
+)
+def _knn_device_packed(
+    space, qbuf, qmeta, data, k: int, chunk: int, precision: str,
+    pass1_precision: str, twopass: bool,
+):
+    """Packed-transport exact scan (ops/qpack.py): one uploaded query
+    buffer in, one bitcast-packed [B, 2k] result out — the eager path's
+    per-array uploads and per-result downloads each cost a tunnel round
+    trip (~26 ms measured, r2_wall.jsonl). Unpack + derived terms +
+    the underlying scan all trace into one program."""
+    qenc = space.complete_queries(QP.unpack_device(qbuf, qmeta))
+    if twopass:
+        d, ids, _, _ = _knn_device_twopass(
+            space, qenc, data, k, chunk, precision, pass1_precision
+        )
+    else:
+        d, ids, _ = _knn_device(space, qenc, data, k, chunk, precision)
+    return QP.pack_results(d, ids)
 
 
 @partial(
@@ -423,7 +449,6 @@ class SeqSearch(Method):
     def knn(self, points, k: int):
         if self.data is None:
             raise IndexNotBuiltError("seq_search: index not built")
-        qenc = self._scan_queries(points)
         n_pad = self.data.ids.shape[0]
         kk = min(k, n_pad)
         # two-pass group-min path pays off once the corpus dwarfs the
@@ -448,6 +473,18 @@ class SeqSearch(Method):
             from ..spaces.dense import ensure_cert_metadata
 
             ensure_cert_metadata(self.data)
+        if QP.PACKED_QUERIES:
+            qhost = self.space.encode_queries_host(points)
+            if qhost is not None:
+                buf, meta = QP.pack_host(qhost)
+                packed = _knn_device_packed(
+                    self.space, jnp.asarray(buf), meta, self.data, kk,
+                    self._chunk, self.precision, self.pass1_precision,
+                    use_twopass,
+                )
+                d, ids = QP.unpack_results(packed, kk)
+                return self._knn_finish(d, ids, k, kk)
+        qenc = self._scan_queries(points)
         if use_twopass:
             d, ids, _, _ = _knn_device_twopass(
                 self.space,
@@ -462,10 +499,14 @@ class SeqSearch(Method):
             d, ids, _ = _knn_device(
                 self.space, qenc, self.data, kk, self._chunk, self.precision
             )
+        return self._knn_finish(d, ids, k, kk)
+
+    def _knn_finish(self, d, ids, k: int, kk: int):
+        d, ids = np.asarray(d), np.asarray(ids)
         if kk < k:  # keep the requested width; extras are masked
             padw = k - kk
-            d = jnp.pad(d, ((0, 0), (0, padw)), constant_values=jnp.inf)
-            ids = jnp.pad(ids, ((0, 0), (0, padw)), constant_values=-1)
+            d = np.pad(d, ((0, 0), (0, padw)), constant_values=np.inf)
+            ids = np.pad(ids, ((0, 0), (0, padw)), constant_values=-1)
         self.dist_comps += d.shape[0] * self.data.count
         return self._finalize_knn(d, ids)
 
