@@ -93,6 +93,27 @@ def test_packed_matches_eager_sparse(rng):
         np.testing.assert_allclose(d1, d2, rtol=5e-3, atol=1e-2)
 
 
+def test_packed_matches_eager_u8_sift(rng):
+    x = rng.integers(0, 255, (2000, 128), dtype=np.uint8)
+    q = x[:23]
+    for method in ("hnsw", "seq_search"):
+        idx = Index("l2sqr_sift", method=method,
+                    data_type=DataKind.UINT8, dist_type="int")
+        idx.add_uint8_batch(x)
+        idx.build_index(Params(M=8, efConstruction=40) if method == "hnsw"
+                        else None)
+        if method == "hnsw":
+            idx.set_query_time_params(Params(efSearch=60))
+        d1, i1 = idx.knn_query_batch(q, 10)
+        Q.PACKED_QUERIES = False
+        try:
+            d2, i2 = idx.knn_query_batch(q, 10)
+        finally:
+            Q.PACKED_QUERIES = True
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(d1, d2)  # exact integer distances
+
+
 def test_unsupported_space_falls_back(rng):
     # KL divergence keeps its bespoke eager encode (no host-qenc path):
     # the packed flag must not change behavior or crash

@@ -689,6 +689,22 @@ class L2SqrSiftSpace(DenseSpace):
             "_dimconst": jnp.float32(32768.0 * q.shape[1]),
         }
 
+    def encode_queries_host(self, points):
+        # packed transport: the shift/term math is host numpy; the dim
+        # constant re-derives on device from the (never padded: 128-byte
+        # contract) query width in complete_queries
+        q = np.asarray(points, dtype=np.uint8)
+        if q.ndim == 1:
+            q = q[None, :]
+        a, term = self._encode_mat(q)
+        return {"q": a, "q_term": term}
+
+    def complete_queries(self, qenc):
+        if "_dimconst" not in qenc:
+            qenc = dict(qenc)
+            qenc["_dimconst"] = jnp.float32(32768.0 * qenc["q"].shape[1])
+        return qenc
+
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0)
 
