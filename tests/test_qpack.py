@@ -93,6 +93,24 @@ def test_packed_matches_eager_sparse(rng):
         np.testing.assert_allclose(d1, d2, rtol=5e-3, atol=1e-2)
 
 
+def test_packed_matches_eager_napp(rng):
+    from tpu_knn.eval.datasets import sparse_like
+
+    pts = sparse_like(1200, vocab=3000, nnz=24, seed=5)
+    corpus, q = pts[:1100], pts[1100:1133]
+    idx = Index("cosinesimil_sparse", method="napp", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(corpus)
+    idx.build_index(Params(numPivot=64, numPivotIndex=8))
+    d1, i1 = idx.knn_query_batch(q, 10)
+    Q.PACKED_QUERIES = False
+    try:
+        d2, i2 = idx.knn_query_batch(q, 10)
+    finally:
+        Q.PACKED_QUERIES = True
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=5e-3, atol=1e-2)
+
+
 def test_packed_matches_eager_u8_sift(rng):
     x = rng.integers(0, 255, (2000, 128), dtype=np.uint8)
     q = x[:23]

@@ -35,12 +35,35 @@ from ..core.dataset import DataStore
 from ..core.errors import IndexNotBuiltError, InvalidArgumentError
 from ..core.params import ParamManager, Params
 from ..core.registry import register_method
+from ..ops import qpack as QP
 from ..ops import topk as T
 from ..ops.topk import INF
 from ..utils.logging import log
 from ..utils.rng import np_rng
 from .base import Method
 from .vptree import _gather_xc
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "space", "qmeta", "k", "chunk", "min_times", "skip_checking",
+        "prefix_search",
+    ),
+)
+def _napp_knn_packed(
+    space, qbuf, qmeta, data, pivot_rows, prefix, k: int, chunk: int,
+    min_times: int, skip_checking: bool, prefix_search: int,
+):
+    """Packed-transport NAPP search (ops/qpack.py): one query upload,
+    one bitcast-packed result download — see methods/hnsw.py
+    _hnsw_search_packed for the round-trip economics."""
+    qenc = space.complete_queries(QP.unpack_device(qbuf, qmeta))
+    d, ids, nd = _napp_knn(
+        space, qenc, data, pivot_rows, prefix, k, chunk, min_times,
+        skip_checking, prefix_search,
+    )
+    return QP.pack_results(d, ids), nd
 
 
 @partial(jax.jit, static_argnames=("space", "k", "chunk", "min_times", "skip_checking", "prefix_search"))
@@ -194,11 +217,22 @@ class Napp(Method):
     def knn(self, points, k: int):
         if self._prefix is None:
             raise IndexNotBuiltError("napp: index not built")
+        pfx = min(self.num_prefix_search, self._pivot_rows.shape[0])
+        if QP.PACKED_QUERIES:
+            qhost = self.space.encode_queries_host(points)
+            if qhost is not None:
+                buf, meta = QP.pack_host(qhost)
+                packed, nd = _napp_knn_packed(
+                    self.space, jnp.asarray(buf), meta, self.data,
+                    self._pivot_rows, self._prefix, k, self._chunk,
+                    self.min_times, self.skip_checking, pfx,
+                )
+                self._add_dist_comps(nd)
+                return self._finalize_knn(*QP.unpack_results(packed, k))
         qenc = self.space.encode_queries(points)
         d, ids, nd = _napp_knn(
             self.space, qenc, self.data, self._pivot_rows, self._prefix,
-            k, self._chunk, self.min_times, self.skip_checking,
-            min(self.num_prefix_search, self._pivot_rows.shape[0]),
+            k, self._chunk, self.min_times, self.skip_checking, pfx,
         )
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
