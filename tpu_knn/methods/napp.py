@@ -214,25 +214,41 @@ class Napp(Method):
 
     # ---------------- search ----------------
 
+    def _packed_dispatch(self, points, k: int):
+        qhost = self.space.encode_queries_host(points)
+        if qhost is None:
+            return None
+        buf, meta = QP.pack_host(qhost)
+        packed, nd = _napp_knn_packed(
+            self.space, jnp.asarray(buf), meta, self.data,
+            self._pivot_rows, self._prefix, k, self._chunk,
+            self.min_times, self.skip_checking,
+            min(self.num_prefix_search, self._pivot_rows.shape[0]),
+        )
+        self._add_dist_comps(nd)
+        return packed
+
+    def knn_async(self, points, k: int):
+        if self._prefix is None:
+            raise IndexNotBuiltError("napp: index not built")
+        if QP.PACKED_QUERIES:
+            packed = self._packed_dispatch(points, k)
+            if packed is not None:
+                return lambda: self._finalize_knn(*QP.unpack_results(packed, k))
+        return super().knn_async(points, k)
+
     def knn(self, points, k: int):
         if self._prefix is None:
             raise IndexNotBuiltError("napp: index not built")
-        pfx = min(self.num_prefix_search, self._pivot_rows.shape[0])
         if QP.PACKED_QUERIES:
-            qhost = self.space.encode_queries_host(points)
-            if qhost is not None:
-                buf, meta = QP.pack_host(qhost)
-                packed, nd = _napp_knn_packed(
-                    self.space, jnp.asarray(buf), meta, self.data,
-                    self._pivot_rows, self._prefix, k, self._chunk,
-                    self.min_times, self.skip_checking, pfx,
-                )
-                self._add_dist_comps(nd)
+            packed = self._packed_dispatch(points, k)
+            if packed is not None:
                 return self._finalize_knn(*QP.unpack_results(packed, k))
         qenc = self.space.encode_queries(points)
         d, ids, nd = _napp_knn(
             self.space, qenc, self.data, self._pivot_rows, self._prefix,
-            k, self._chunk, self.min_times, self.skip_checking, pfx,
+            k, self._chunk, self.min_times, self.skip_checking,
+            min(self.num_prefix_search, self._pivot_rows.shape[0]),
         )
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)

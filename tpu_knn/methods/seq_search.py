@@ -446,9 +446,29 @@ class SeqSearch(Method):
         over the tunnel — more than the whole single-pass scan."""
         return self.space.encode_queries(points)
 
-    def knn(self, points, k: int):
+    def knn_async(self, points, k: int):
         if self.data is None:
             raise IndexNotBuiltError("seq_search: index not built")
+        kk, use_twopass = self._plan_knn(k)
+        if QP.PACKED_QUERIES:
+            packed = self._packed_dispatch(points, kk, use_twopass)
+            if packed is not None:
+                return lambda: self._knn_finish(
+                    *QP.unpack_results(packed, kk), k, kk
+                )
+        return super().knn_async(points, k)
+
+    def _packed_dispatch(self, points, kk: int, use_twopass: bool):
+        qhost = self.space.encode_queries_host(points)
+        if qhost is None:
+            return None
+        buf, meta = QP.pack_host(qhost)
+        return _knn_device_packed(
+            self.space, jnp.asarray(buf), meta, self.data, kk, self._chunk,
+            self.precision, self.pass1_precision, use_twopass,
+        )
+
+    def _plan_knn(self, k: int):
         n_pad = self.data.ids.shape[0]
         kk = min(k, n_pad)
         # two-pass group-min path pays off once the corpus dwarfs the
@@ -473,17 +493,16 @@ class SeqSearch(Method):
             from ..spaces.dense import ensure_cert_metadata
 
             ensure_cert_metadata(self.data)
+        return kk, use_twopass
+
+    def knn(self, points, k: int):
+        if self.data is None:
+            raise IndexNotBuiltError("seq_search: index not built")
+        kk, use_twopass = self._plan_knn(k)
         if QP.PACKED_QUERIES:
-            qhost = self.space.encode_queries_host(points)
-            if qhost is not None:
-                buf, meta = QP.pack_host(qhost)
-                packed = _knn_device_packed(
-                    self.space, jnp.asarray(buf), meta, self.data, kk,
-                    self._chunk, self.precision, self.pass1_precision,
-                    use_twopass,
-                )
-                d, ids = QP.unpack_results(packed, kk)
-                return self._knn_finish(d, ids, k, kk)
+            packed = self._packed_dispatch(points, kk, use_twopass)
+            if packed is not None:
+                return self._knn_finish(*QP.unpack_results(packed, kk), k, kk)
         qenc = self._scan_queries(points)
         if use_twopass:
             d, ids, _, _ = _knn_device_twopass(

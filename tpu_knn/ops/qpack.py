@@ -18,8 +18,9 @@ The packed path collapses the query-side transport to ONE upload:
           derives q_term/q_pterm on device instead of uploading them.
 
 and the result side to one download: pack_results/unpack_results
-bitcast the i32 id matrix alongside the f32 distances so (d, ids) ride
-one [B, 2k] array.
+bitcast the f32 distances into an int32 container alongside the ids so
+(d, ids) ride one [B, 2k] array. The container must be the INTEGER
+side: see pack_results on the TPU subnormal-flush hazard.
 
 The reference has no analog (its queries live in the same address
 space as the index, nmslib_c.cpp Search paths); this is the TPU-native
@@ -108,16 +109,24 @@ def unpack_device(buf: jax.Array, meta: tuple) -> dict:
 
 
 def pack_results(dists: jax.Array, ids: jax.Array) -> jax.Array:
-    """[B,k] f32 distances + [B,k] i32 ids -> one [B, 2k] f32 array
-    (ids bitcast, not converted). In-jit."""
+    """[B,k] f32 distances + [B,k] i32 ids -> one [B, 2k] int32 array
+    (distances bitcast, not converted). In-jit.
+
+    The container is INTEGER on purpose: ids bitcast into f32 lanes are
+    subnormals for any id < 2**23 (zero exponent field), and TPU vector
+    ops flush subnormals to zero — measured on chip: the f32-container
+    concat zeroed id columns k..k+5 of a [B, 2k] pack while k+6..2k-1
+    survived the relayout (scripts/r2_packed_diag.py, the batch19
+    recall-0.4 collapse). Integer lanes are never FTZ'd, and i32
+    transfers are byte-exact over the tunnel (rt:i32 stages)."""
     return jnp.concatenate(
-        [dists, lax.bitcast_convert_type(ids, jnp.float32)], axis=1
+        [lax.bitcast_convert_type(dists, jnp.int32), ids], axis=1
     )
 
 
 def unpack_results(packed: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Host inverse of pack_results."""
     packed = np.asarray(packed)
-    d = packed[:, :k].copy()
-    ids = np.ascontiguousarray(packed[:, k:]).view(np.int32)
+    d = np.ascontiguousarray(packed[:, :k]).view(np.float32)
+    ids = packed[:, k:].copy()
     return d, ids
