@@ -67,6 +67,37 @@ def test_vptree_max_leaves(dense_pair):
     assert (ids >= -1).all()  # well-formed even under a harsh cap
 
 
+def test_vptree_gathered_matches_masked(dense_pair):
+    """A finite maxLeavesToVisit routes through the gathered traversal
+    (score only the selected leaves' rows); the masked full-corpus pass
+    visits the identical left-to-right capped leaf set, so results and
+    distance-computation counts must agree between the two paths."""
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20))
+    for ml in (2, 6):
+        idx.set_query_time_params(Params(maxLeavesToVisit=ml))
+        t = idx.method._tree
+        assert ml < t["leaf_members"].shape[0]  # cap is actually binding
+        d_g, i_g = idx.knn_query_batch(q, 5)
+        dc_g = idx.method.dist_comps
+        idx.method.dist_comps = 0
+        try:
+            idx.method.gather_traversal = False
+            d_m, i_m = idx.knn_query_batch(q, 5)
+        finally:
+            idx.method.gather_traversal = True
+        dc_m = idx.method.dist_comps
+        idx.method.dist_comps = 0
+        np.testing.assert_array_equal(i_g, i_m)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(d_g), d_g, 0),
+            np.where(np.isfinite(d_m), d_m, 0), atol=5e-3,
+        )
+        assert dc_g == dc_m > 0  # identical capped visit sets
+
+
 def test_vptree_range(dense_pair):
     x, q, ed, eids = dense_pair
     idx = Index("l2", Params(dim=12), method="vptree")

@@ -18,7 +18,11 @@ phases:
      (searchoracle.h:163-186: visit ONLY left if dq <= M and
      r < alphaLeft*(M-dq)^expLeft, ONLY right in the mirrored case,
      both otherwise), then one masked distance pass over the union of
-     visited leaves.
+     visited leaves — or, when ``maxLeavesToVisit`` bounds the visit
+     set tightly enough, a GATHERED pass that scores only each query's
+     selected leaves' rows (O(Q*maxLeaves*leaf_cap) work instead of
+     O(Q*N)); without it the pruner changed the mask but never the
+     work, so qps was flat in alpha (79 qps at 1M).
 
 Because phase 3 prunes with the phase-2 radius (>= the reference's
 evolving radius), the visited set is a superset of the reference's:
@@ -47,7 +51,12 @@ from ..utils.rng import np_rng
 from .base import Method, stream_range_results
 
 
-@partial(jax.jit, static_argnames=("space", "depth", "leaf_cap", "k", "max_leaves", "chunk"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "space", "depth", "leaf_cap", "k", "max_leaves", "chunk", "gathered"
+    ),
+)
 def _vptree_knn(
     space,
     qenc,
@@ -63,6 +72,7 @@ def _vptree_knn(
     k: int,
     max_leaves: int,
     chunk: int,
+    gathered: bool = False,
 ):
     n_internal = pivot_pos.shape[0]
     n_leaves = leaf_members.shape[0]
@@ -98,6 +108,61 @@ def _vptree_knn(
     # phase 3: visit masks level by level (pruner rule, searchoracle.h) —
     # shared with the range paths
     visit = _vptree_visit_masks(dpiv, medians, r, pruner, depth)
+
+    if gathered:
+        # phase 4 (gathered): each query gathers ONLY its first
+        # ``max_leaves`` visited leaves' member rows (left-to-right,
+        # the reference's MaxLeavesToVisit traversal-order cap) and
+        # scores them — work is O(Q * max_leaves * leaf_cap) instead of
+        # the masked path's O(Q * N) full-corpus pass, which made qps
+        # FLAT in the pruner (a 1M scan per batch regardless of alpha).
+        # Leaf groups stream through a lax.scan with a running top-k so
+        # gather temporaries stay bounded.
+        lidx = jnp.where(
+            visit,
+            jax.lax.broadcasted_iota(jnp.int32, visit.shape, 1),
+            n_leaves,
+        )
+        neg, _ = jax.lax.top_k(-lidx, max_leaves)
+        sel = -neg  # [Q, L] ascending leaf ids; n_leaves = no more visits
+        grp = max(1, 4096 // leaf_cap)  # gathered rows per step ~4k
+        steps = (max_leaves + grp - 1) // grp
+        if steps * grp > max_leaves:
+            sel = jnp.pad(sel, ((0, 0), (0, steps * grp - max_leaves)),
+                          constant_values=n_leaves)
+        corpus = space.corpus_dict(data)
+        from ..ops.graph import score_rows
+
+        def gstep(carry, si):
+            cd0, ci0, nvis = carry
+            lf = jax.lax.dynamic_slice_in_dim(sel, si * grp, grp, 1)
+            ok = lf < n_leaves
+            rows = leaf_members[jnp.clip(lf, 0, n_leaves - 1)]  # [Q,G,cap]
+            rows = jnp.where(ok[:, :, None], rows, -1).reshape(b, grp * leaf_cap)
+            dly = score_rows(space, qenc, corpus, rows)
+            nd_, ni_ = T.merge_topk(cd0, ci0, dly, rows, k)
+            nvis = nvis + jnp.sum(
+                jnp.where(ok, leaf_count[jnp.clip(lf, 0, n_leaves - 1)], 0),
+                axis=1,
+            )
+            return (nd_, ni_, nvis), None
+
+        init = (
+            jnp.full((b, k), INF, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+            jnp.zeros(b, jnp.int32),
+        )
+        (cd, cpos, nvis), _ = jax.lax.scan(gstep, init, jnp.arange(steps))
+        # selected-leaf totals (home leaf counted in both phases, like
+        # the masked path's visit*leaf_count sum)
+        ndist = ndist + nvis
+        all_d = jnp.concatenate([init_d, piv_d, cd], axis=1)
+        all_p = jnp.concatenate([init_pos, piv_pos, cpos], axis=1)
+        md, mpos = _dedup_topk(all_d, all_p, k)
+        ids = jnp.where(
+            mpos >= 0, data.ids[jnp.clip(mpos, 0, data.ids.shape[0] - 1)], -1
+        )
+        return md, ids, ndist
 
     # maxLeavesToVisit cap in left-to-right order (vptree.cc MaxLeavesToVisit)
     if max_leaves < n_leaves:
@@ -293,6 +358,11 @@ class VPTree(Method):
         self.alpha_right = 1.0
         self.exp_right = 1.0
         self.max_leaves = 1 << 30
+        #: A/B knob: route finite maxLeavesToVisit through the gathered
+        #: traversal (see _vptree_knn phase 4) instead of the masked
+        #: full-corpus scan. Default on; the masked path stays as the
+        #: exact/unbounded fallback and the A/B harness arm.
+        self.gather_traversal = True
         self._tree = None
 
     def set_query_time_params(self, params: Params | None) -> None:
@@ -449,11 +519,23 @@ class VPTree(Method):
             self._add_dist_comps(d.shape[0] * jnp.sum(members >= 0))
             return self._finalize_knn(*_pad_k(dd, ids, k))
         ml = min(self.max_leaves, t["leaf_members"].shape[0])
+        # A finite maxLeavesToVisit bounds per-query work, so the
+        # gathered traversal (score only the selected leaves' rows)
+        # replaces the masked full-corpus pass — unless the cap is so
+        # loose that gathering would touch more rows than the scan
+        # reads anyway (then the streaming scan's sequential HBM reads
+        # win over row gathers).
+        gathered = (
+            self.gather_traversal
+            and 1 <= ml < t["leaf_members"].shape[0]
+            and ml * self.leaf_cap * 4 <= self.data.ids.shape[0]
+        )
         d, ids, nd = _vptree_knn(
             self.space, qenc, self.data,
             t["pivot_pos"], t["medians"], t["leaf_members"],
             t["leaf_of"], t["leaf_count"], self._pruner(),
             self.depth, self.leaf_cap, k, ml, self._chunk,
+            gathered=gathered,
         )
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
