@@ -715,7 +715,18 @@ class Hnsw(Method):
         # ProgressDisplay analog (reference: hnsw.cc:236): one INFO line
         # per ~10% of waves when build_index(print_progress=True)
         every = max(1, num_waves // 10) if getattr(self, "progress", False) else 0
+        # perf-attribution hook: (first_wave, last_wave, trace_dir) set by
+        # profiling scripts (scripts/r2_build_prof.py) — traces exactly
+        # the waves in the window with drained queues on both edges so
+        # device_duration_ps attributes only those wave steps.
+        prof = getattr(self, "profile_wave_window", None)
         for wi in range(num_waves):
+            if prof and wi == prof[0]:
+                float(jnp.sum(level0[0]))  # drain in-flight dispatches
+                import time as _time
+
+                self._prof_t0 = _time.perf_counter()
+                jax.profiler.start_trace(prof[2])
             if every and wi % every == 0:
                 # sync before logging so the line reflects true device
                 # progress (dispatch is async and the host loop races
@@ -737,6 +748,14 @@ class Hnsw(Method):
                 ecorpus,
                 eqenc,
             )
+            if prof and wi == prof[1]:
+                float(jnp.sum(level0[0]))  # window complete on device
+                jax.profiler.stop_trace()
+                import time as _time
+
+                self._prof_wall_s = _time.perf_counter() - self._prof_t0
+                self.profile_wave_window = None
+                prof = None
         # post passes: re-run every point against the FULL graph, merging
         # new neighborhoods into existing rows (reference: hnsw.cc:251-338,
         # post=1|2 reverse-order rebuild-and-merge)
