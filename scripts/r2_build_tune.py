@@ -1,0 +1,69 @@
+"""Re-tune HNSW construction knobs with SYNCED timings.
+
+The round-1 constructionExpand=16 default was chosen off build walls
+that timed only async dispatch (the 93-115 s artifact) — the choice is
+unvalidated. The build profile (r2_bprof.jsonl) says ~58% of wave
+device time is the construction beam, so expand is the lever: sweep
+expand x waveSize at 300k, each with a synced build and an ef=20
+recall check vs an exact gold (quality must hold while speed moves).
+
+Appends JSON to /tmp/r2_btune.jsonl.
+"""
+
+import json
+import time
+import traceback
+
+import numpy as np
+
+LOG = "/tmp/r2_btune.jsonl"
+N, NQ, K = 300_000, 2048, 10
+
+
+def emit(**kw):
+    with open(LOG, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tpu_knn import Index, Params
+    from tpu_knn.eval.datasets import sift_like
+
+    pts = sift_like(N + NQ, 128, seed=0)
+    corpus, q = pts[:N], pts[N : N + NQ]
+    try:
+        ex = Index("l2", Params(dim=128), method="seq_search")
+        ex.add_dense_batch(corpus)
+        ex.build_index()
+        _, gold = ex.knn_query_batch(q, K)
+        gold = np.asarray(gold)
+        del ex
+        for expand, wave in ((16, 1024), (8, 1024), (4, 1024), (8, 2048)):
+            idx = Index("l2", Params(dim=128), method="hnsw")
+            idx.add_dense_batch(corpus)
+            t0 = time.perf_counter()
+            idx.build_index(Params(M=16, efConstruction=100, waveSize=wave,
+                                   constructionExpand=expand))
+            float(jnp.sum(idx.method.graph["level0"]))
+            build_s = time.perf_counter() - t0
+            idx.set_query_time_params(Params(efSearch=20))
+            d, i = idx.knn_query_batch(q, K)
+            t0 = time.perf_counter()
+            d, i = idx.knn_query_batch(q, K)
+            dt = time.perf_counter() - t0
+            rec = float(np.mean([
+                len(set(a[a >= 0]) & set(b)) / K for a, b in zip(i, gold)
+            ]))
+            emit(expand=expand, wave=wave, build_s=round(build_s, 1),
+                 qps_ef20=round(NQ / dt, 1), recall_at_10=round(rec, 4))
+            del idx
+    except Exception:
+        emit(event="crash", err=traceback.format_exc()[-900:])
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

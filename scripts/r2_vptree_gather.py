@@ -48,14 +48,27 @@ def main():
         float(jnp.sum(idx.method._tree["leaf_members"]))
         emit(event="build_ok", build_s=round(time.perf_counter() - t0, 1),
              depth=idx.method.depth, leaf_cap=idx.method.leaf_cap)
+        import sys
+
         # NB: maxLeavesToVisit is a STATIC shape arg — each distinct
-        # value compiles a fresh 1M program (~5-12 min over the tunnel);
-        # alphas are traced and free. Keep to 3 distinct ml values.
-        for alpha, ml in (
+        # value compiles a fresh 1M program (compiles measured fast for
+        # this program, ~3 min total run); alphas are traced and free.
+        sweep = (
             (1.0, 8), (4.0, 8),
             (1.0, 32), (4.0, 32), (16.0, 32),
             (1.0, 128), (4.0, 128),
-        ):
+        )
+        if len(sys.argv) > 1 and sys.argv[1] == "fine":
+            # round 2 follow-up: alpha=4 dominated every cap (alpha=1
+            # visits too many leaves for the cap, 16 over-prunes) —
+            # refine around it and extend the cap for the high-recall
+            # end (512*64 gathered rows/query still < N/4)
+            sweep = (
+                (2.0, 32), (3.0, 32), (6.0, 32),
+                (2.0, 128), (3.0, 128), (6.0, 128), (8.0, 128),
+                (3.0, 512), (4.0, 512), (6.0, 512),
+            )
+        for alpha, ml in sweep:
             idx.set_query_time_params(Params(
                 alphaLeft=alpha, alphaRight=alpha, maxLeavesToVisit=ml))
             d, i = idx.knn_query_batch(q, K)  # warm exact shape
@@ -64,6 +77,8 @@ def main():
             dt = time.perf_counter() - t0
             emit(alpha=alpha, maxLeaves=ml, qps=round(NQ / dt, 1),
                  recall_at_10=round(recall(i, gold), 4))
+        if len(sys.argv) > 1 and sys.argv[1] == "fine":
+            return
         # masked exact anchor (uncapped, alpha=1): the old default path
         idx.set_query_time_params(None)
         d, i = idx.knn_query_batch(q, K)
