@@ -133,6 +133,36 @@ def test_napp(dense_pair):
     assert idx.method.dist_comps <= dc_loose
 
 
+def test_napp_scancount_backends_agree(dense_pair):
+    """The MXU one-hot-matmul ScanCount and the membership-gather
+    formulation must produce identical results and identical candidate
+    accounting (exact integer counts either way). The flag is trace-
+    time, so compare through the unjitted function."""
+    from tpu_knn.methods import napp as NA
+
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="napp")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(numPivot=32, numPrefix=8))
+    m = idx.method
+    qenc = m.space.encode_queries(q)
+    args = (m.space, qenc, m.data, m._pivot_rows, m._prefix, 5, m._chunk)
+    fn = NA._napp_knn.__wrapped__
+    out = {}
+    orig = NA.SCANCOUNT_BACKEND
+    try:
+        for backend in ("mxu", "gather"):
+            NA.SCANCOUNT_BACKEND = backend
+            d, ids, nd = fn(*args, 2, False, 8)
+            out[backend] = (np.asarray(d), np.asarray(ids), np.asarray(nd))
+    finally:
+        NA.SCANCOUNT_BACKEND = orig
+    np.testing.assert_array_equal(out["mxu"][1], out["gather"][1])
+    np.testing.assert_allclose(out["mxu"][0], out["gather"][0],
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_array_equal(out["mxu"][2], out["gather"][2])
+
+
 def test_napp_skip_checking(dense_pair):
     x, q, ed, eids = dense_pair
     idx = Index("l2", Params(dim=12), method="napp")

@@ -10,12 +10,16 @@ keep those appearing >= minTimes, then re-rank candidates with real
 distances unless skipChecking.
 
 TPU redesign: the inverted files disappear — the per-object pivot
-prefix is a dense i32[N, numPrefix] array, and ScanCount becomes a
-gather of the query's pivot-membership bitmask at those prefix slots,
-fused into the same streaming pass that computes the (masked) real
-distances. One pass over the corpus does candidate generation +
-re-ranking; dist_comps counts only mask-passing rows (the reference's
-"improvement in dist comp" metric stays meaningful).
+prefix is a dense i32[N, numPrefix] array, and ScanCount becomes one
+MXU matmul per corpus chunk: one-hot the chunk's prefixes [C, P+1] and
+multiply by the query pivot-membership mask [Q, P+1] (exact integer
+counts in f32; SCANCOUNT_BACKEND="gather" keeps the round-1
+membership-gather formulation, which ran on the VPU and dominated the
+1M query wall at 81 qps — r2_nprof.jsonl). Counting, candidate
+masking, (masked) real-distance scoring, and the dist-comp accounting
+all fuse into ONE streaming pass over the corpus; dist_comps counts
+only mask-passing rows (the reference's "improvement in dist comp"
+metric stays meaningful).
 
 invProcAlg (scan/map/merge/pq/wand/store_sort) selects between CPU
 candidate-generation strategies in the reference; here there is a single
@@ -42,6 +46,16 @@ from ..utils.logging import log
 from ..utils.rng import np_rng
 from .base import Method
 from .vptree import _gather_xc
+
+#: ScanCount backend: "mxu" one-hots each chunk's pivot prefixes and
+#: counts via one matmul against the query pivot-membership mask;
+#: "gather" is the [Q, C, numPrefix] membership-gather formulation
+#: (VPU-bound — it dominated the 1M NAPP query at 81 qps, r2_nprof).
+#: Module flag for on-chip A/B; both produce identical integer counts.
+#: Read at TRACE time: set it before the first napp query of the
+#: process (jit caches don't key on it) — the A/B harness runs one
+#: backend per process, like GROUPMIN_BACKEND.
+SCANCOUNT_BACKEND = "mxu"
 
 
 @partial(
@@ -88,34 +102,59 @@ def _napp_knn(
     dq = space.block(qenc, xc)  # [Q, P]
     _, qtop = jax.lax.top_k(-dq, min(prefix_search, p))  # [Q, S] pivot indices
     qmask = jnp.zeros((b, p + 1), bool).at[jnp.arange(b)[:, None], qtop].set(True)
+    qmask_f = qmask.astype(jnp.float32)  # dead column p stays 0
     # per-query counts: a 2048-query batch over a 1M corpus can exceed
     # int32 in total; the host sums per-query i32 in int64 (methods/base.py)
     ndist = jnp.full((b,), p, jnp.int32)
 
-    def cand_mask(ci):
+    def chunk_counts(ci):
         """ScanCount: how many of the query's prefix pivots each object of
-        chunk ci shares (pivot_neighb_common.h posting-list union analog)."""
+        chunk ci shares (pivot_neighb_common.h posting-list union analog).
+        Returns f32[Q, C] exact integer counts (<= numPrefix << 2^24)."""
         pfx = jax.lax.dynamic_slice_in_dim(prefix, ci * chunk, chunk, 0)  # [C, numPrefix]
         safe = jnp.where(pfx >= 0, pfx, p)  # pad slots hit the dead column p
+        if SCANCOUNT_BACKEND == "mxu":
+            # one-hot the chunk's prefixes and count on the MXU: the
+            # [Q, C, numPrefix] membership-gather formulation ran on the
+            # VPU and dominated the 1M NAPP query (81 qps; r2_nprof).
+            # No scatter hints (TPU miscompile, ops/sparse._densify).
+            rows = jax.lax.broadcasted_iota(jnp.int32, safe.shape, 0)
+            oneh = jnp.zeros((safe.shape[0], p + 1), jnp.float32).at[
+                rows, safe
+            ].add(1.0, mode="drop")
+            return jnp.einsum(
+                "qp,cp->qc", qmask_f, oneh,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         hits = qmask[:, safe]  # [Q, C, numPrefix]
-        count = jnp.sum(hits, axis=2)  # [Q, C]
-        return count >= min_times, count
+        return jnp.sum(hits, axis=2).astype(jnp.float32)  # [Q, C]
 
-    def chunk_dists(ci):
-        cand, count = cand_mask(ci)
+    # one scan does candidate generation + re-ranking + the dist-comp
+    # accounting (the accounting used to re-run the count pass a second
+    # time over the whole corpus)
+    def step(carry, ci):
+        cd0, ci0, nacc = carry
+        count = chunk_counts(ci)
+        cand = count >= min_times
         if skip_checking:
             # rank by count (proxy distance), no real distance evaluations
-            return jnp.where(cand, -count.astype(jnp.float32), INF)
-        xcc = space.slice_data(data, ci * chunk, chunk)
-        d = space.block(qenc, xcc)
-        return jnp.where(cand, d, INF)
+            d = jnp.where(cand, -count, INF)
+        else:
+            xcc = space.slice_data(data, ci * chunk, chunk)
+            d = jnp.where(cand, space.block(qenc, xcc), INF)
+            nacc = nacc + jnp.sum(cand, axis=1, dtype=jnp.int32)
+        cols = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        nd_, ni_ = T.merge_topk(cd0, ci0, d, cols, k)
+        return (nd_, ni_, nacc), None
 
-    cd, cpos = T.streaming_smallest_k(chunk_dists, n_pad // chunk, chunk, b, k)
-    if not skip_checking:
-        ncand = jax.lax.map(
-            lambda ci: jnp.sum(cand_mask(ci)[0], axis=1), jnp.arange(n_pad // chunk)
-        )  # [n_chunks, Q]
-        ndist = ndist + jnp.sum(ncand, axis=0)
+    init = (
+        jnp.full((b, k), INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+    )
+    (cd, cpos, ncand), _ = jax.lax.scan(step, init, jnp.arange(n_pad // chunk))
+    ndist = ndist + ncand
     ids = jnp.where(cpos >= 0, data.ids[jnp.clip(cpos, 0, n_pad - 1)], -1)
     return cd, ids, ndist
 
