@@ -488,10 +488,14 @@ class Hnsw(Method):
         self.wave_mates = pm.get("waveMates", 8, int)
         self.expand = pm.get("searchExpand", 4, int)
         self._expand_default = self.expand  # restored by reset (None) below
-        # construction beams run at efConstruction (~100-200): widening the
-        # per-iteration frontier cuts beam iterations ~3x at equal recall
-        # (measured: build 89s -> 33s at 100k, recall unchanged)
-        self.construction_expand = pm.get("constructionExpand", 16, int)
+        # construction beams run at efConstruction (~100-200). The round-1
+        # expand=16 default was picked off UNSYNCED build walls (they
+        # timed async dispatch only); the synced re-tune at 300k
+        # (r2_btune.jsonl) measures expand=4 15% faster than 16 at
+        # identical recall (208.7 s vs 244.5 s, recall@10 0.9848 both) —
+        # same default as the query-side beam. waveSize=2048 regressed
+        # both build time and recall and stays 1024.
+        self.construction_expand = pm.get("constructionExpand", 4, int)
         # DiskANN-style neighborhood replication: store each node's
         # neighbors' vectors contiguously so one beam expansion is one
         # sequential HBM granule instead of maxM0 row gathers. Costs
