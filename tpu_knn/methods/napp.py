@@ -97,6 +97,16 @@ def _napp_knn(
     p = pivot_rows.shape[0]
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
 
+    # sparse: densify the query table ONCE, outside the chunk scan.
+    # Relying on "XLA hoists the loop-invariant scatter" inside _dot
+    # does NOT hold in lax.scan bodies: the 1M NAPP profile showed the
+    # [Q, V_pad] table re-materializing per iteration (copy+reshape at
+    # ops/sparse.py:106 ~2.9 s/batch, r2_nprof.jsonl) — same manual
+    # hoist as seq_search._densify_in_jit.
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
+
     # query -> pivot distances, pivot membership mask
     xc = _gather_xc(space, data, pivot_rows)
     dq = space.block(qenc, xc)  # [Q, P]
