@@ -301,6 +301,17 @@ class Index:
         if k <= 0:
             raise InvalidArgumentError("k must be positive")
         self._ensure_built()
+        pts, b = self._bucket_query_points(points)
+        d, i = self.method.knn(pts, k)
+        d, i = d[:b], i[:b]
+        if self.dist_type is DistKind.INT:
+            d = np.where(np.isfinite(d), np.rint(d), d)
+        return d, i
+
+    def _bucket_query_points(self, points):
+        """Prep + pad a query batch to its power-of-two bucket (copies
+        of the first query; results are sliced back to the true batch).
+        Returns (padded_points, true_batch_size)."""
         pts = self._prep_query_points(points)
         b = len(pts)
         bb = b
@@ -311,11 +322,7 @@ class Index:
                 pts = np.concatenate([pts, np.repeat(pts[:1], bb - b, axis=0)], 0)
             else:
                 pts = list(pts) + [pts[0]] * (bb - b)
-        d, i = self.method.knn(pts, k)
-        d, i = d[:b], i[:b]
-        if self.dist_type is DistKind.INT:
-            d = np.where(np.isfinite(d), np.rint(d), d)
-        return d, i
+        return pts, b
 
     def knn_query_batch_results(self, points: Any, k: int) -> list[QueryResult]:
         d, i = self.knn_query_batch(points, k)
@@ -337,16 +344,7 @@ class Index:
         if k <= 0:
             raise InvalidArgumentError("k must be positive")
         self._ensure_built()
-        pts = self._prep_query_points(points)
-        b = len(pts)
-        bb = b
-        if self.query_batch_bucketing and b > 0:
-            bb = max(8, 1 << (b - 1).bit_length())
-        if bb != b:
-            if isinstance(pts, np.ndarray):
-                pts = np.concatenate([pts, np.repeat(pts[:1], bb - b, axis=0)], 0)
-            else:
-                pts = list(pts) + [pts[0]] * (bb - b)
+        pts, b = self._bucket_query_points(points)
         done = self.method.knn_async(pts, k)
 
         def materialize():

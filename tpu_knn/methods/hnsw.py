@@ -724,6 +724,7 @@ class Hnsw(Method):
         # the waves in the window with drained queues on both edges so
         # device_duration_ps attributes only those wave steps.
         prof = getattr(self, "profile_wave_window", None)
+        prof_started = False
         for wi in range(num_waves):
             if prof and wi == prof[0]:
                 float(jnp.sum(level0[0]))  # drain in-flight dispatches
@@ -731,6 +732,7 @@ class Hnsw(Method):
 
                 self._prof_t0 = _time.perf_counter()
                 jax.profiler.start_trace(prof[2])
+                prof_started = True
             if every and wi % every == 0:
                 # sync before logging so the line reflects true device
                 # progress (dispatch is async and the host loop races
@@ -752,7 +754,7 @@ class Hnsw(Method):
                 ecorpus,
                 eqenc,
             )
-            if prof and wi == prof[1]:
+            if prof and wi == min(prof[1], num_waves - 1):
                 float(jnp.sum(level0[0]))  # window complete on device
                 jax.profiler.stop_trace()
                 import time as _time
@@ -760,6 +762,12 @@ class Hnsw(Method):
                 self._prof_wall_s = _time.perf_counter() - self._prof_t0
                 self.profile_wave_window = None
                 prof = None
+        if prof and prof_started:
+            # window start fired but the end wave was never reached
+            # (short build): stop the trace so the profiler isn't left
+            # armed for the rest of the process
+            jax.profiler.stop_trace()
+            self.profile_wave_window = None
         # post passes: re-run every point against the FULL graph, merging
         # new neighborhoods into existing rows (reference: hnsw.cc:251-338,
         # post=1|2 reverse-order rebuild-and-merge)

@@ -453,8 +453,11 @@ class SeqSearch(Method):
         if QP.PACKED_QUERIES:
             packed = self._packed_dispatch(points, kk, use_twopass)
             if packed is not None:
+                # count at DISPATCH (the scan runs whether or not the
+                # future is read), matching hnsw/napp async accounting
+                self.dist_comps += len(points) * self.data.count
                 return lambda: self._knn_finish(
-                    *QP.unpack_results(packed, kk), k, kk
+                    *QP.unpack_results(packed, kk), k, kk, count_dists=False
                 )
         return super().knn_async(points, k)
 
@@ -520,13 +523,14 @@ class SeqSearch(Method):
             )
         return self._knn_finish(d, ids, k, kk)
 
-    def _knn_finish(self, d, ids, k: int, kk: int):
+    def _knn_finish(self, d, ids, k: int, kk: int, count_dists: bool = True):
         d, ids = np.asarray(d), np.asarray(ids)
         if kk < k:  # keep the requested width; extras are masked
             padw = k - kk
             d = np.pad(d, ((0, 0), (0, padw)), constant_values=np.inf)
             ids = np.pad(ids, ((0, 0), (0, padw)), constant_values=-1)
-        self.dist_comps += d.shape[0] * self.data.count
+        if count_dists:
+            self.dist_comps += d.shape[0] * self.data.count
         return self._finalize_knn(d, ids)
 
     def range(self, points, radius: float):

@@ -63,7 +63,10 @@ class SmallWorldRand(Hnsw):
         wave = pm.get("waveSize", 256, int)
         wave_mates = pm.get("waveMates", 8, int)
         expand = pm.get("searchExpand", 4, int)
-        c_expand = pm.get("constructionExpand", 16, int)
+        # same wave machinery as hnsw: the synced 300k re-tune flipped
+        # the default from the round-1 expand=16 (an unsynced-wall
+        # artifact) to 4 (methods/hnsw.py, r2_btune.jsonl)
+        c_expand = pm.get("constructionExpand", 4, int)
         seed = pm.get("seed", 0, int)
         delaunay = pm.get("delaunay_type", 2, int)
         pm.check_unused()

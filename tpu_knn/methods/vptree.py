@@ -78,6 +78,13 @@ def _vptree_knn(
     n_leaves = leaf_members.shape[0]
     n_pad = data.ids.shape[0]
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    # sparse: densify the query table ONCE before any chunk scan /
+    # gathered step — XLA does not hoist the loop-invariant scatter
+    # out of lax.scan bodies (measured ~2.9 s/batch of per-iteration
+    # [Q, V_pad] copies at 1M before the napp hoist, r2_nprof.jsonl)
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
 
     # phase 1: all query->pivot distances in one masked gather-block
     xc = _gather_xc(space, data, pivot_pos)
@@ -125,7 +132,10 @@ def _vptree_knn(
         )
         neg, _ = jax.lax.top_k(-lidx, max_leaves)
         sel = -neg  # [Q, L] ascending leaf ids; n_leaves = no more visits
-        grp = max(1, 4096 // leaf_cap)  # gathered rows per step ~4k
+        # gathered rows per step ~4k, but never more leaves than the cap
+        # (grp > max_leaves would pad sel with sentinels that still get
+        # gathered and scored-to-INF — ~8x wasted work at max_leaves=8)
+        grp = max(1, min(max_leaves, 4096 // leaf_cap))
         steps = (max_leaves + grp - 1) // grp
         if steps * grp > max_leaves:
             sel = jnp.pad(sel, ((0, 0), (0, steps * grp - max_leaves)),
@@ -228,6 +238,13 @@ def _vptree_range_counts(
     n_internal = pivot_pos.shape[0]
     n_leaves = 1 << depth
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    # sparse: densify the query table ONCE before any chunk scan /
+    # gathered step — XLA does not hoist the loop-invariant scatter
+    # out of lax.scan bodies (measured ~2.9 s/batch of per-iteration
+    # [Q, V_pad] copies at 1M before the napp hoist, r2_nprof.jsonl)
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
     xc = _gather_xc(space, data, pivot_pos)
     dpiv = space.block(qenc, xc)  # [Q, n_internal]
     r = jnp.full(b, radius, jnp.float32)
@@ -263,6 +280,13 @@ def _vptree_range_collect(
     n_internal = pivot_pos.shape[0]
     n_leaves = 1 << depth
     b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    # sparse: densify the query table ONCE before any chunk scan /
+    # gathered step — XLA does not hoist the loop-invariant scatter
+    # out of lax.scan bodies (measured ~2.9 s/batch of per-iteration
+    # [Q, V_pad] copies at 1M before the napp hoist, r2_nprof.jsonl)
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
     xc = _gather_xc(space, data, pivot_pos)
     dpiv = space.block(qenc, xc)
     r = jnp.full(b, radius, jnp.float32)
