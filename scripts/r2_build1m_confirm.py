@@ -8,6 +8,7 @@ Appends JSON to /tmp/r2_b1mc.jsonl.
 """
 
 import json
+import os
 import time
 import traceback
 
@@ -31,7 +32,16 @@ def main():
 
     pts = sift_like(N + NQ, 128, seed=0)
     corpus, q = pts[:N], pts[N:]
-    gold = np.load("/tmp/gold_sift1m_l2.npz")["ids"]
+    gpath = "/tmp/gold_sift1m_l2.npz"
+    if not os.path.exists(gpath):
+        # /tmp gold wiped (VM reset) — regenerate via the exact scan
+        ex = Index("l2", Params(dim=128), method="seq_search")
+        ex.add_dense_batch(corpus)
+        ex.build_index(Params())
+        _, gi = ex.knn_query_batch(q, K)
+        np.savez(gpath, ids=np.asarray(gi))
+        del ex
+    gold = np.load(gpath)["ids"]
     try:
         idx = Index("l2", Params(dim=128), method="hnsw")
         idx.add_dense_batch(corpus)

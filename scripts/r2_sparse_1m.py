@@ -10,6 +10,7 @@ Appends JSON to /tmp/r2_sparse1m.jsonl.
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -101,7 +102,17 @@ def main():
             emit(stage="scan", f64_spot_recall=round(spot, 4),
                  f64_s=round(time.perf_counter() - t0, 1))
         else:
-            gold = np.load("/tmp/gold_sparse1m.npz")["ids"]
+            gpath = "/tmp/gold_sparse1m.npz"
+            if not os.path.exists(gpath):
+                # /tmp gold wiped (VM reset) — regenerate via exact scan
+                ex = Index("cosinesimil_sparse", method="seq_search",
+                           data_type=DataKind.SPARSE)
+                ex.add_sparse_batch(corpus)
+                ex.build_index(Params(chunkSize=2048))
+                _, gi = ex.knn_query_batch(q, K)
+                np.savez(gpath, ids=np.asarray(gi))
+                del ex
+            gold = np.load(gpath)["ids"]
             idx = Index("cosinesimil_sparse", method="napp",
                         data_type=DataKind.SPARSE)
             idx.add_sparse_batch(corpus)

@@ -1,0 +1,122 @@
+"""NN-descent construction (ops/nndescent.py, hnsw buildAlgo=nndescent).
+
+The produced index must be a drop-in for the wave-built one: same
+layered search, clean graph invariants, recall comparable to the wave
+build on clustered data, deterministic under a fixed seed, and a clean
+fallback to waves for spaces without a symmetric affine row encode.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_knn import Index, Params
+from tpu_knn.eval.datasets import sift_like
+
+N, NQ, K, DIM = 1024, 128, 10, 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    pts = sift_like(N + NQ, DIM, seed=3)
+    return pts[:N], pts[N:]
+
+
+@pytest.fixture(scope="module")
+def gold(data):
+    corpus, q = data
+    ex = Index("l2", Params(dim=DIM), method="seq_search")
+    ex.add_dense_batch(corpus)
+    ex.build_index(Params())
+    _, ids = ex.knn_query_batch(q, K)
+    return np.asarray(ids)
+
+
+def _recall(ids, gold):
+    return float(np.mean([
+        len(set(a[a >= 0]) & set(b)) / K for a, b in zip(np.asarray(ids), gold)
+    ]))
+
+
+def _build(corpus, space="l2", **kw):
+    params = dict(M=8, efConstruction=60, buildAlgo="nndescent",
+                  nndChunk=1024, nndIters=5, nndK=24, nndKrev=8)
+    params.update(kw)
+    idx = Index(space, Params(dim=DIM), method="hnsw")
+    idx.add_dense_batch(corpus)
+    idx.build_index(Params(**params))
+    return idx
+
+
+def test_l2_recall_and_graph(data, gold):
+    corpus, q = data
+    idx = _build(corpus)
+    chk = idx.method.check_graph()
+    assert chk == {"self_links": 0, "dup_links": 0, "oob_links": 0}
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, gold) >= 0.9
+
+
+def test_cosine_build(data):
+    corpus, q = data
+    ex = Index("cosinesimil", Params(dim=DIM), method="seq_search")
+    ex.add_dense_batch(corpus)
+    ex.build_index(Params())
+    _, g = ex.knn_query_batch(q, K)
+    idx = _build(corpus, space="cosinesimil")
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, np.asarray(g)) >= 0.9
+
+
+def test_deterministic(data):
+    corpus, _ = data
+    a = _build(corpus, seed=7)
+    b = _build(corpus, seed=7)
+    assert np.array_equal(np.asarray(a.method.graph["level0"]),
+                          np.asarray(b.method.graph["level0"]))
+    for ua, ub in zip(a.method._upper, b.method._upper):
+        assert np.array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_f32_store_mode(data, gold):
+    corpus, q = data
+    idx = _build(corpus, nndStoreDtype="float32")
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, gold) >= 0.9
+
+
+def test_fallback_to_waves(data):
+    # l1 has no affine pass-1 factorization: nndescent must fall back to
+    # the wave build and still produce a working index
+    corpus, q = data
+    idx = Index("l1", Params(dim=DIM), method="hnsw")
+    idx.add_dense_batch(corpus)
+    idx.build_index(Params(M=8, efConstruction=40, buildAlgo="nndescent",
+                           waveSize=512))
+    idx.set_query_time_params(Params(efSearch=30))
+    d, ids = idx.knn_query_batch(q[:16], K)
+    assert np.asarray(ids).shape == (16, K)
+    assert np.all(np.asarray(ids)[:, 0] >= 0)
+
+
+def test_sift_u8_build():
+    rng = np.random.default_rng(0)
+    centers = rng.integers(0, 200, size=(16, 128))
+    pts = np.clip(
+        centers[rng.integers(0, 16, N + NQ)]
+        + rng.normal(0, 12, (N + NQ, 128)), 0, 255
+    ).astype(np.uint8)
+    corpus, q = pts[:N], pts[N:]
+    ex = Index("l2sqr_sift", Params(dim=128), "seq_search", "dense_uint8_vector", "int")
+    ex.add_uint8_batch(corpus)
+    ex.build_index(Params())
+    _, g = ex.knn_query_batch(q, K)
+    idx = Index("l2sqr_sift", Params(dim=128), "hnsw", "dense_uint8_vector", "int")
+    idx.add_uint8_batch(corpus)
+    idx.build_index(Params(M=8, efConstruction=60, buildAlgo="nndescent",
+                           nndChunk=1024, nndIters=5, nndK=24, nndKrev=8))
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, np.asarray(g)) >= 0.9

@@ -496,6 +496,35 @@ class Hnsw(Method):
         # same default as the query-side beam. waveSize=2048 regressed
         # both build time and recall and stays 1024.
         self.construction_expand = pm.get("constructionExpand", 4, int)
+        # Construction algorithm: "waves" = batched insertion waves
+        # (reference-faithful incremental semantics), "nndescent" =
+        # whole-corpus NN-descent refinement + heuristic prune +
+        # reverse-fill (ops/nndescent.py) — the matmul/granule-dense
+        # build that attacks the gather-bound wave beam (~58% of build
+        # device time, BASELINE.md). Falls back to waves with a WARN for
+        # spaces without a symmetric affine row encode.
+        self.build_algo = pm.get("buildAlgo", "waves", str)
+        if self.build_algo not in ("waves", "nndescent"):
+            raise ValueError(f"bad buildAlgo {self.build_algo!r}")
+        # NN-descent knobs: k-NN list width (CAGRA-style: build wider
+        # than maxM0, prune down), reverse-edge cap per sweep, per-parent
+        # candidates kept before the merge, sweep cap, scoring chunk
+        self.nnd_k = pm.get("nndK", 48, int)
+        self.nnd_krev = pm.get("nndKrev", 16, int)
+        self.nnd_t = pm.get("nndT", 8, int)
+        self.nnd_iters = pm.get("nndIters", 10, int)
+        self.nnd_chunk = pm.get("nndChunk", 1024, int)
+        self.nnd_level_k = pm.get("nndLevelK", 64, int)
+        self.nnd_store = pm.get("nndStoreDtype", "int8", str)
+        if self.nnd_store not in ("int8", "float32"):
+            raise ValueError(f"bad nndStoreDtype {self.nnd_store!r}")
+        # top pruned-but-near candidates back up to M forward edges
+        # (hnswlib keepPrunedConnections): a k-NN candidate list is
+        # all-near, so the bare domination rule underfills rows
+        self.nnd_fill = pm.get("nndFillPruned", 1, int)
+        # random long-link candidates appended before selection
+        # (Kleinberg small-world routing; see ops/nndescent._exact_aug_chunk)
+        self.nnd_random = pm.get("nndRandom", 8, int)
         # DiskANN-style neighborhood replication: store each node's
         # neighbors' vectors contiguously so one beam expansion is one
         # sequential HBM granule instead of maxM0 row gathers. Costs
@@ -593,9 +622,91 @@ class Hnsw(Method):
         n = self._prepare(store)
         if n == 0:
             return
-        self._run_waves(0, n)
+        if self.build_algo == "nndescent" and self._build_nndescent(n):
+            pass
+        else:
+            if self.build_algo == "nndescent":
+                log("WARNING", "hnsw: buildAlgo=nndescent needs a symmetric "
+                               "affine row encode; falling back to waves")
+            self._run_waves(0, n)
         self._drop_wave_state()
         log("DEBUG", f"{self.name} built: n={n} max_level={self._max_level}")
+
+    # ----- NN-descent construction (ops/nndescent.py) -----
+
+    def _nnd_eligible(self) -> bool:
+        sp = self._graph_space
+        aff = getattr(sp, "pass1_affine", None)
+        if aff is None or aff() is None:
+            return False
+        raq = getattr(sp, "rows_as_queries", None)
+        if raq is None:
+            return False
+        corpus = _corpus_dict(sp, self._graph_data)
+        vecs = corpus.get("vecs")
+        if getattr(vecs, "ndim", 0) != 2 or "row_mask" in corpus or "term" in corpus:
+            return False
+        return raq(vecs[:1]) is not None
+
+    def _build_nndescent(self, n: int) -> bool:
+        """Level 0 via NN-descent + heuristic prune + reverse-fill;
+        upper levels via exact per-level k-NN (each level is a prefix of
+        the level-sorted order). Replaces the insertion waves wholesale;
+        ``post`` passes don't apply (the final exact re-score + prune
+        already sees the full graph)."""
+        if not self._nnd_eligible():
+            return False
+        from ..ops import nndescent as ND
+
+        sp = self._graph_space
+        corpus = _corpus_dict(sp, self._graph_data)
+        # construction scores both sides from corpus rows — the second
+        # encoded-corpus copy from _encode_store is dead weight; free it
+        self._qenc_all = None
+        selection = "none" if self.delaunay_type == 0 else "heur"
+        prog = (
+            (lambda it, ch: log("INFO", f"hnsw nnd sweep {it + 1}: {ch} updates"))
+            if getattr(self, "progress", False) else None
+        )
+        dist, adj = ND.build_knn_graph(
+            sp, corpus, n,
+            k=self.nnd_k, iters=self.nnd_iters, krev=self.nnd_krev,
+            t_keep=self.nnd_t, chunk=self.nnd_chunk, seed=self.seed,
+            store_dtype=self.nnd_store, n_random=self.nnd_random,
+            progress=prog,
+        )
+        level0 = ND.prune_and_link(
+            sp, corpus, dist, adj, n,
+            m=self.M, cap=self.maxM0, chunk=self.nnd_chunk,
+            selection=selection, fill=bool(self.nnd_fill),
+        )
+        n_pad = self.data.ids.shape[0]
+        level0 = level0[:n_pad]
+        # a refinement-built graph has no insertion-time reachability
+        # guarantee: link stranded components back to the entry's (see
+        # ops/nndescent.repair_reachability)
+        level0, fixed = ND.repair_reachability(
+            sp, corpus, level0, n, entry=self._entry
+        )
+        if fixed:
+            log("INFO", f"hnsw nnd: repaired reachability of {fixed} nodes")
+        self.graph = {"level0": level0}
+        del dist, adj, level0
+        new_upper = []
+        for l in range(1, self._max_level + 1):
+            n_l = self._upper[l - 1].shape[0]
+            k_cand = min(self.nnd_level_k, max(n_l - 1, 1))
+            new_upper.append(
+                ND.build_level_exact(
+                    sp, corpus, n_l,
+                    m=self.M, cap=self.maxM, k_cand=k_cand,
+                    chunk=min(2048, max(n_l, 1)), selection=selection,
+                    fill=bool(self.nnd_fill), n_random=self.nnd_random,
+                    seed=self.seed,
+                )
+            )
+        self._upper = new_upper
+        return True
 
     def _drop_wave_state(self) -> None:
         """Free construction-only device state: the corpus-as-queries

@@ -1,0 +1,587 @@
+"""NN-descent k-NN-graph construction — the matmul-dense alternative to
+batched insertion waves for HNSW level 0.
+
+Reference parity: this replaces the *construction* algorithm only
+(src/method/hnsw.cc:183-338 sequential insertion); the produced index is
+the same layered navigable graph searched by the same batched beam
+(ops/graph.py), so query-time behavior and the parameter surface are
+unchanged. Rationale (BASELINE.md "Build wall-clock correction"): the
+insertion-wave build is gather-bound inside per-wave beam searches
+(~58% of device time) and lost the 1M construction headline to the
+reference ~3x. NN-descent (Dong et al., WWW'11; the CAGRA/GGNN GPU
+build recipe) reformulates construction as a fixed number of
+whole-corpus refinement sweeps whose hot loop is contiguous-granule
+gathers + one batched matmul — exactly what the TPU memory system and
+MXU want:
+
+  * state: each node's current k-NN list (adj [N,k], dist [N,k]).
+  * per sweep: symmetrize (forward + capped reverse edges) -> B;
+    replicate each node's neighborhood rows contiguously
+    (store = xq[B], int8) so a node's candidate set B[B[i]] is scored
+    from kb sequential granules instead of kb^2 row gathers; merge the
+    per-parent best t into the k-NN list with one (id,d)/(d,id) double
+    sort (duplicate-safe across iterations).
+  * final sweep re-scores every surviving list entry EXACTLY (f32
+    corpus rows) so downstream pruning ranks true neighbors.
+
+Scoring runs on the space's affine pass-1 factorization with BOTH sides
+derived from corpus rows (space.rows_as_queries) — no second encoded
+corpus copy, no per-candidate query-encoding gathers. Eligible spaces:
+l2, cosinesimil/angulardist/negdotprod, l2sqr_sift (native int8 rows,
+exact), and the sparse JL sketch proxy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graph as G
+from .topk import INF
+
+NEG1 = np.int32(-1)
+#: invalid-id sentinel that sorts AFTER every real id (dedup sorts)
+IDBIG = np.int32(2**30)
+
+
+# ---------------- scoring from rows ----------------
+
+
+def _score_from_rows(space, qenc: dict, rows, xscale: float):
+    """Distances between per-chunk queries qenc['q'] [C, D] and candidate
+    rows [C, ..., D] (broadcast over middle dims). rows may be a
+    quantized store (int8 * xscale); terms are recomputed from the
+    dequantized rows so the affine identity stays consistent."""
+    scale, sq, sx = space.pass1_affine()
+    q = qenc["q"].astype(jnp.float32)
+    r = rows.astype(jnp.float32)
+    if xscale != 1.0:
+        r = r * xscale
+    g = jnp.einsum("cd,c...d->c...", q, r)
+    s = scale * g
+    if sq != 0.0 and "q_term" in qenc:
+        qt = qenc["q_term"]
+        s = s + sq * qt.reshape(qt.shape + (1,) * (g.ndim - 1))
+    if sx != 0.0:
+        t = space.term_from_rows(r)
+        if t is not None:
+            s = s + sx * t
+    return space.pass1_post(s, qenc)
+
+
+def pairs_from_rows(space, rows):
+    """All-pairs distances within each row set: rows [C, K, D] ->
+    [C, K, K], using rows as their own query encodings. One batched
+    matmul on the MXU — replaces the _score_pairs double gather
+    (methods/hnsw.py) for symmetric-encode spaces."""
+    qe = space.rows_as_queries(rows)
+    scale, sq, sx = space.pass1_affine()
+    a = qe["q"].astype(jnp.float32)
+    b = rows.astype(jnp.float32)
+    g = jnp.einsum("cad,cbd->cab", a, b)
+    s = scale * g
+    if sq != 0.0 and "q_term" in qe:
+        s = s + sq * qe["q_term"][:, :, None]
+    if sx != 0.0:
+        t = space.term_from_rows(b)
+        if t is not None:
+            s = s + sx * t[:, None, :]
+    return space.pass1_post(s, qe)
+
+
+# ---------------- jitted pieces ----------------
+
+
+@partial(jax.jit, static_argnames=("krev", "count"))
+def _make_b(adj, krev: int, count: int):
+    """Symmetrized neighborhood B = [forward | capped reverse] i32[S, kb].
+
+    Reverse edges via the sort/group machinery (cf. methods/hnsw.py
+    reverse_update): every forward pair (src -> tgt) competes for one of
+    tgt's krev reverse slots, first-come by src order. Pad-state rows
+    (src >= count) never emit pairs."""
+    s_rows, k = adj.shape
+    src = jnp.broadcast_to(
+        jnp.arange(s_rows, dtype=jnp.int32)[:, None], (s_rows, k)
+    ).reshape(-1)
+    tgt = adj.reshape(-1)
+    valid = (tgt >= 0) & (src < count)
+    npairs = tgt.shape[0]
+    skey = jnp.where(valid, tgt, IDBIG)
+    order = jnp.argsort(skey)
+    sn, sp, sv = skey[order], src[order], valid[order]
+    first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
+    gid = jnp.clip(jnp.cumsum(first) - 1, 0, npairs - 1)
+    iar = jnp.arange(npairs, dtype=jnp.int32)
+    gstart = jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
+    pos = iar - gstart[gid]
+    ok = sv & (pos < krev)
+    rev = jnp.full((s_rows, krev), NEG1)
+    rev = rev.at[
+        jnp.where(ok, sn, s_rows), jnp.clip(pos, 0, krev - 1)
+    ].set(jnp.where(ok, sp, NEG1), mode="drop")
+    return jnp.concatenate([adj, rev], axis=1)
+
+
+@jax.jit
+def _gather_store(xq, b):
+    """Neighborhood row replication: store[i] = xq[B[i]] ([S, kb, D]).
+    One row gather per (node, slot); every later candidate read is a
+    kb*D sequential granule."""
+    return xq[jnp.clip(b, 0, xq.shape[0] - 1)]
+
+
+def _merge_dedup_sorted(all_d, all_i, k: int):
+    """(id,d)-sort -> run-dedup (keep min d per id) -> (d,id)-sort ->
+    first k. Safe when the same id carries bitwise-different scores
+    (store-quantized vs exact init), unlike single-sort run-dedup."""
+    ids = jnp.where(all_d >= INF, IDBIG, all_i)
+    ids = jnp.where(ids < 0, IDBIG, ids)
+    d = jnp.where(ids == IDBIG, INF, all_d)
+    ids, d = jax.lax.sort((ids, d), num_keys=2)
+    run = jnp.concatenate(
+        [jnp.zeros((ids.shape[0], 1), bool), (ids[:, 1:] == ids[:, :-1]) & (ids[:, 1:] < IDBIG)],
+        axis=1,
+    )
+    d = jnp.where(run, INF, d)
+    ids = jnp.where(run, IDBIG, ids)
+    d, ids = jax.lax.sort((d, ids), num_keys=2)
+    d, ids = d[:, :k], ids[:, :k]
+    return d, jnp.where(ids == IDBIG, NEG1, ids)
+
+
+@partial(jax.jit, static_argnames=("space", "t_keep", "count", "chunk", "xscale"))
+def _descent_chunk(
+    space, adj, dist, b, store, qvecs, base, *,
+    t_keep: int, count: int, chunk: int, xscale: float,
+):
+    """One refinement step for nodes [base, base+chunk): score candidate
+    set B[B[i]] from neighborhood granules, keep each parent's best
+    t_keep, merge into the current k-NN list. Returns the updated
+    (dist_c, adj_c, changed_count) for the chunk only (Jacobi update —
+    every chunk of an iteration reads the same frozen B/store)."""
+    k = adj.shape[1]
+    kb = b.shape[1]
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    # query side from the EXACT corpus rows (only candidate rows ride
+    # the quantized store) — halves the quantization noise for free
+    q = qvecs[jnp.clip(node, 0, qvecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+
+    b_c = jax.lax.dynamic_slice_in_dim(b, base, chunk, 0)  # [C, kb]
+    safe_p = jnp.clip(b_c, 0, b.shape[0] - 1)
+    cand = b[safe_p]  # [C, kb, kb]
+    cand = jnp.where(b_c[:, :, None] < 0, NEG1, cand)
+    rows = store[safe_p]  # [C, kb, kb, D]
+    d3 = _score_from_rows(space, qe, rows, xscale)  # [C, kb, kb]
+    bad = (cand < 0) | (cand >= count) | (cand == node[:, None, None])
+    d3 = jnp.where(bad, INF, d3)
+
+    if t_keep < kb:
+        d3, cand = jax.lax.sort((d3, cand), num_keys=1)
+        d3, cand = d3[:, :, :t_keep], cand[:, :, :t_keep]
+    dflat = d3.reshape(chunk, -1)
+    iflat = cand.reshape(chunk, -1)
+
+    all_d = jnp.concatenate([dist_c, dflat], axis=1)
+    all_i = jnp.concatenate([adj_c, iflat], axis=1)
+    nd, ni = _merge_dedup_sorted(all_d, all_i, k)
+    return nd, ni, jnp.sum(ni != adj_c)
+
+
+@partial(jax.jit, static_argnames=("space", "count", "chunk"))
+def _exact_chunk(space, corpus, adj, base, *, count: int, chunk: int):
+    """Exact re-score of the chunk's k-NN lists from the f32 corpus
+    (one program for every entry -> authoritative dedup + ordering)."""
+    k = adj.shape[1]
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    vecs = corpus["vecs"]
+    q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+    d = G.score_rows(space, qe, corpus, adj_c)
+    d = jnp.where((adj_c == node[:, None]) | (adj_c >= count), INF, d)
+    return _merge_dedup_sorted(d, adj_c, k)
+
+
+@partial(jax.jit, static_argnames=("space", "count", "chunk"))
+def _exact_aug_chunk(space, corpus, adj, rand, base, *, count: int, chunk: int):
+    """Exact re-score of [k-NN list | random long-link candidates].
+
+    A k-NN candidate list contains NO long edges, so the selection
+    heuristic downstream can't retain any — and greedy/beam routing on
+    the resulting graph strands in local-minimum pockets (measured:
+    self-queries stuck at d~460 with the true node 4 hops away). Random
+    augmentation is the Kleinberg small-world fix: a far random node is
+    rarely dominated by near neighbors, so the diversity rule keeps it,
+    exactly as it keeps the wave build's diverse beam candidates.
+    Returns width k + r, sorted ascending by exact distance."""
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    rand_c = jax.lax.dynamic_slice_in_dim(rand, base, chunk, 0)
+    cand = jnp.concatenate([adj_c, rand_c], axis=1)
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    vecs = corpus["vecs"]
+    q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+    d = G.score_rows(space, qe, corpus, cand)
+    d = jnp.where((cand == node[:, None]) | (cand >= count), INF, d)
+    return _merge_dedup_sorted(d, cand, cand.shape[1])
+
+
+@partial(jax.jit, static_argnames=("space", "m", "chunk", "exact_rule", "fill"))
+def _prune_chunk(space, corpus, adj, dist, base, *, m: int, chunk: int,
+                 exact_rule: bool, fill: bool):
+    """Neighbor-selection heuristic over each node's (exact-scored,
+    ascending) k-NN list, pair distances from one batched matmul over
+    the gathered rows (pairs_from_rows). Returns sel i32[chunk, m].
+
+    ``fill``: top the survivors up to m with the nearest pruned
+    candidates (hnswlib's keepPrunedConnections). A k-NN candidate list
+    is all-near (unlike a construction beam's diverse frontier), so the
+    domination rule alone keeps ~half as many edges as the wave build
+    and measurably hurts navigability (self-query misses at any ef)."""
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+    rows = corpus["vecs"][jnp.clip(adj_c, 0, corpus["vecs"].shape[0] - 1)]
+    pair_d = pairs_from_rows(space, rows)
+    pair_d = jnp.where(
+        (adj_c[:, :, None] < 0) | (adj_c[:, None, :] < 0), INF, pair_d
+    )
+    base_d = jnp.where(adj_c < 0, INF, dist_c)
+    keep = G.select_neighbors_heuristic(base_d, pair_d, m, exact=exact_rule)
+    if not fill:
+        return G.pack_selected(adj_c, keep, m)
+    # kept first (ascending d), then pruned-but-valid (ascending d)
+    c = adj_c.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, adj_c.shape, 1)
+    key = jnp.where(keep, pos, c + pos)
+    key = jnp.where(adj_c >= 0, key, 2 * c + pos)
+    order = jnp.argsort(key, axis=1)
+    sel = jnp.take_along_axis(adj_c, order, 1)[:, :m]
+    selkey = jnp.take_along_axis(key, order, 1)[:, :m]
+    return jnp.where(selkey < 2 * c, sel, NEG1)
+
+
+@partial(jax.jit, static_argnames=("m", "chunk"))
+def _keep_first_chunk(adj, dist, base, *, m: int, chunk: int):
+    """delaunay_type=0: keep the m closest (lists are sorted)."""
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    return adj_c[:, :m]
+
+
+@partial(jax.jit, static_argnames=("cap", "count"))
+def _reverse_fill(sel, cap: int, count: int):
+    """Final adjacency: forward-selected edges + reverse edges packed to
+    ``cap`` per row. Reference analog: the bidirectional link pass
+    (hnsw.h:258-314); overflow here is impossible by construction
+    (m forward + (cap-m) reverse slots), so no shrink scoring."""
+    s_rows, m = sel.shape
+    krev = max(cap - m, 0)
+    if krev == 0:
+        return sel[:, :cap]
+    rev = _make_b(sel, krev, count)[:, m:]  # [S, krev]
+    dup = jnp.any(rev[:, :, None] == sel[:, None, :], axis=2)
+    rev = jnp.where(dup | (rev == jnp.arange(s_rows, dtype=jnp.int32)[:, None]), NEG1, rev)
+    allx = jnp.concatenate([sel, rev], axis=1)
+    return G.pack_selected(allx, allx >= 0, cap)
+
+
+# ---------------- drivers ----------------
+
+
+def build_knn_graph(
+    space,
+    corpus: dict,
+    n: int,
+    *,
+    k: int,
+    iters: int,
+    krev: int,
+    t_keep: int,
+    chunk: int,
+    seed: int,
+    store_dtype: str = "int8",
+    min_update_frac: float = 1e-3,
+    n_random: int = 6,
+    progress=None,
+):
+    """Exact-rescored approximate k-NN graph. Returns (dist f32[S, k],
+    adj i32[S, k]) on device, rows ascending by exact distance; S is n
+    rounded up to the chunk size (rows >= n are all -1/INF)."""
+    vecs = corpus["vecs"]
+    n_pad = vecs.shape[0]
+    c_eff = int(min(chunk, max(128, n_pad)))
+    nc = (n_pad + c_eff - 1) // c_eff
+    n_state = nc * c_eff
+
+    # quantized scoring copy: int8 corpora (l2sqr_sift, already exact)
+    # pass through; f32 corpora quantize symmetric-per-tensor (the int8
+    # neighbor-store recipe, methods/hnsw.py _get_nbr_store)
+    if vecs.dtype == jnp.int8 or store_dtype == "float32":
+        xq, xscale = vecs, 1.0
+    else:
+        s = float(jnp.max(jnp.abs(vecs))) / 127.0
+        xscale = s if s > 0 else 1.0
+        xq = jnp.clip(jnp.round(vecs / xscale), -127, 127).astype(jnp.int8)
+
+    # random init (seeded, self-free); pad-state rows stay empty
+    rng = np.random.default_rng(seed)
+    init = rng.integers(0, max(n, 1), size=(n_state, k), dtype=np.int64)
+    init = np.where(init == (np.arange(n_state)[:, None]), (init + 1) % max(n, 1), init)
+    init[n:] = -1
+    adj = jnp.asarray(init.astype(np.int32))
+    dist = jnp.full((n_state, k), INF)
+    # exact-score the random init
+    parts = [
+        _exact_chunk(space, corpus, adj, ci * c_eff, count=n, chunk=c_eff)
+        for ci in range(nc)
+    ]
+    dist = jnp.concatenate([p[0] for p in parts])
+    adj = jnp.concatenate([p[1] for p in parts])
+
+    for it in range(iters):
+        b = _make_b(adj, krev, n)
+        store = _gather_store(xq, b)
+        outs = [
+            _descent_chunk(
+                space, adj, dist, b, store, vecs, ci * c_eff,
+                t_keep=t_keep, count=n, chunk=c_eff, xscale=xscale,
+            )
+            for ci in range(nc)
+        ]
+        dist = jnp.concatenate([o[0] for o in outs])
+        adj = jnp.concatenate([o[1] for o in outs])
+        changed = int(sum(int(o[2]) for o in outs))
+        if progress:
+            progress(it, changed)
+        if changed <= min_update_frac * n * k:
+            break
+
+    # final exact pass, with random long-link candidates appended so
+    # the downstream heuristic has far edges to keep (see _exact_aug_chunk)
+    r = max(n_random, 1)
+    rnd = rng.integers(0, max(n, 1), size=(n_state, r)).astype(np.int32)
+    rnd[n:] = -1
+    rand = jnp.asarray(rnd)
+    parts = [
+        _exact_aug_chunk(space, corpus, adj, rand, ci * c_eff, count=n, chunk=c_eff)
+        for ci in range(nc)
+    ]
+    dist = jnp.concatenate([p[0] for p in parts])
+    adj = jnp.concatenate([p[1] for p in parts])
+    return dist, adj
+
+
+def prune_and_link(
+    space,
+    corpus: dict,
+    dist,
+    adj,
+    n: int,
+    *,
+    m: int,
+    cap: int,
+    chunk: int,
+    selection: str = "heur",
+    fill: bool = True,
+):
+    """k-NN lists -> navigable adjacency: heuristic forward selection to
+    m edges (pruned-fill per ``fill``), then reverse-fill to ``cap``.
+    Returns i32[S, cap]."""
+    n_state = adj.shape[0]
+    c_eff = int(min(chunk, n_state))
+    nc = (n_state + c_eff - 1) // c_eff
+    sels = []
+    for ci in range(nc):
+        if selection == "none":
+            sels.append(_keep_first_chunk(adj, dist, ci * c_eff, m=m, chunk=c_eff))
+        else:
+            sels.append(
+                _prune_chunk(
+                    space, corpus, adj, dist, ci * c_eff,
+                    m=m, chunk=c_eff, exact_rule=selection != "rng",
+                    fill=fill,
+                )
+            )
+    sel = jnp.concatenate(sels)
+    return _reverse_fill(sel, cap, n)
+
+
+# ---------------- reachability repair ----------------
+
+
+@jax.jit
+def _reach_from(adj, entry):
+    """Directed-reachability mask from ``entry`` over adjacency rows:
+    scatter-or message passing to a fixpoint (diameter-bounded; the
+    while_loop exits as soon as an iteration adds nothing)."""
+    s_rows, cap = adj.shape
+    tgt = jnp.where(adj >= 0, adj, s_rows).reshape(-1)
+
+    def cond(state):
+        r, changed, it = state
+        return changed & (it < jnp.int32(s_rows))
+
+    def body(state):
+        r, _, it = state
+        msg = jnp.broadcast_to(r[:s_rows, None], (s_rows, cap)).reshape(-1)
+        r2 = r.at[tgt].max(msg)
+        return r2, jnp.any(r2 != r), it + 1
+
+    r0 = jnp.zeros(s_rows + 1, jnp.int32).at[jnp.int32(entry)].set(1)
+    r, _, _ = jax.lax.while_loop(cond, body, (r0, jnp.bool_(True), jnp.int32(0)))
+    return r[:s_rows] > 0
+
+
+@partial(jax.jit, static_argnames=("space", "count", "csize"))
+def _nearest_reached_chunk(space, corpus, u_ids, best_d, best_i, base, *,
+                           count: int, csize: int):
+    """One corpus chunk of the nearest-REACHED-node scan for the
+    unreached batch u_ids (reached mask folded into ``best`` via the
+    caller's pad argument ``reached_pad``)."""
+    vecs = corpus["vecs"]
+    q = vecs[jnp.clip(u_ids, 0, vecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+    x = jax.lax.dynamic_slice_in_dim(vecs, base, csize, 0)
+    xc = {"x": x, "pad": jax.lax.dynamic_slice_in_dim(corpus["_reached_pad"], base, csize, 0)}
+    tfr = getattr(space, "term_from_rows", None)
+    t = tfr(x.astype(jnp.float32)) if tfr is not None else None
+    if t is not None:
+        xc["x_term"] = t
+    d = space.block(qe, xc)  # [U, csize]
+    cols = base + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d = jnp.where((cols == u_ids[:, None]) | (cols >= count), INF, d)
+    better = d.min(axis=1) < best_d
+    am = jnp.argmin(d, axis=1)
+    nd = jnp.where(better, d.min(axis=1), best_d)
+    ni = jnp.where(better, base + am.astype(jnp.int32), best_i)
+    return nd, ni
+
+
+def repair_reachability(space, corpus, adj, n, *, entry: int = 0,
+                        chunk: int = 65536, max_rounds: int = 8):
+    """Guarantee every real node is reachable from ``entry`` along
+    directed level-0 edges — the invariant insertion-based construction
+    provides for free and a refinement-built k-NN graph does not
+    (clustered data fragments into per-cluster components; an
+    unreachable node is invisible to every query at ANY ef). For each
+    unreached node: link it from its exact nearest reached node
+    (overwriting that node's last slot) and back, then re-propagate.
+    Returns the repaired adjacency and the number of repaired nodes."""
+    s_rows, cap = adj.shape
+    repaired = 0
+    for _ in range(max_rounds):
+        reach = np.asarray(_reach_from(adj, entry))
+        un = np.where(~reach[:n])[0]
+        if un.size == 0:
+            break
+        upad = int(np.ceil(un.size / 128)) * 128
+        u_ids = jnp.asarray(
+            np.concatenate([un, np.full(upad - un.size, n - 1)]).astype(np.int32)
+        )
+        # reached-only scoring mask rides the corpus dict as a pad row
+        rp = np.full(corpus["vecs"].shape[0], np.float32(INF))
+        rp[: n][reach[:n]] = 0.0
+        c2 = dict(corpus)
+        c2["_reached_pad"] = jnp.asarray(rp)
+        best_d = jnp.full(upad, INF)
+        best_i = jnp.full(upad, NEG1)
+        csize = int(min(chunk, corpus["vecs"].shape[0]))
+        nc = (corpus["vecs"].shape[0] + csize - 1) // csize
+        for ci in range(nc):
+            base = min(ci * csize, corpus["vecs"].shape[0] - csize)
+            best_d, best_i = _nearest_reached_chunk(
+                space, c2, u_ids, best_d, best_i, base, count=n, csize=csize
+            )
+        tgt = np.asarray(best_i)[: un.size]
+        ok = tgt >= 0
+        un, tgt = un[ok], tgt[ok]
+        if un.size == 0:
+            break
+        # one link per reached anchor this round (collisions retry next
+        # round against the freshly-reached set)
+        _, first = np.unique(tgt, return_index=True)
+        un, tgt = un[np.sort(first)], tgt[np.sort(first)]
+        host = np.array(adj)  # writable copy (np.asarray of a jax array is read-only)
+        for u, t in zip(un, tgt):
+            arow = host[t]  # anchor -> node: makes it reachable
+            free = np.where(arow < 0)[0]
+            arow[free[0] if free.size else cap - 1] = u
+            row = host[u]  # node -> anchor: a way back out
+            if t not in row:
+                free = np.where(row < 0)[0]
+                row[free[0] if free.size else cap - 1] = t
+        adj = jnp.asarray(host)
+        repaired += int(un.size)
+    return adj, repaired
+
+
+@partial(jax.jit, static_argnames=("space", "n_l", "k", "chunk"))
+def _level_knn_chunk(space, corpus, rand, base, *, n_l: int, k: int, chunk: int):
+    """Exact k-NN of member chunk [base, base+chunk) among members
+    [0, n_l) (level-sorted order makes every level a prefix), plus the
+    node's random long-link candidates (same rationale as
+    _exact_aug_chunk — upper-level greedy routing needs far edges too).
+    One full-width affine block + top-k — upper levels are small enough
+    (N_l <= N/M) that brute force beats any index."""
+    from .topk import smallest_k
+
+    vecs = corpus["vecs"]
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+    n_lp = min(((n_l + 127) // 128) * 128, vecs.shape[0])
+    x = jax.lax.slice_in_dim(vecs, 0, n_lp, axis=0)
+    xc = {"x": x, "pad": jnp.where(jnp.arange(n_lp) >= n_l, INF, 0.0)}
+    tfr = getattr(space, "term_from_rows", None)
+    t = tfr(x.astype(jnp.float32)) if tfr is not None else None
+    if t is not None:
+        xc["x_term"] = t
+    d = space.block(qe, xc)  # [C, n_lp]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d = jnp.where(cols == node[:, None], INF, d)
+    kk = min(k, n_lp)
+    dk, ik = smallest_k(d, kk)
+    rand_c = jax.lax.dynamic_slice_in_dim(rand, base, chunk, 0)
+    rsafe = jnp.clip(rand_c, 0, n_lp - 1)
+    rd = jnp.take_along_axis(d, rsafe, axis=1)
+    rd = jnp.where((rand_c < 0) | (rand_c >= n_l), INF, rd)
+    dk = jnp.concatenate([dk, rd], axis=1)
+    ik = jnp.concatenate([ik, rand_c], axis=1)
+    if kk < k:
+        dk = jnp.concatenate([dk, jnp.full((chunk, k - kk), INF)], axis=1)
+        ik = jnp.concatenate([ik, jnp.full((chunk, k - kk), NEG1)], axis=1)
+    return _merge_dedup_sorted(dk, jnp.where(dk >= INF, NEG1, ik), dk.shape[1])
+
+
+def build_level_exact(
+    space, corpus: dict, n_l: int, *, m: int, cap: int, k_cand: int,
+    chunk: int, selection: str = "heur", fill: bool = True,
+    n_random: int = 6, seed: int = 0,
+):
+    """One upper level: exact k-NN among the first n_l nodes + the same
+    prune/reverse-fill as level 0. Returns i32[n_l, cap]."""
+    c_eff = int(min(chunk, max(n_l, 1)))
+    nc = (n_l + c_eff - 1) // c_eff
+    rng = np.random.default_rng(seed + 7919 * n_l)
+    rand = jnp.asarray(
+        rng.integers(0, max(n_l, 1), size=(nc * c_eff, max(n_random, 1))).astype(np.int32)
+    )
+    parts = [
+        _level_knn_chunk(
+            space, corpus, rand, ci * c_eff, n_l=n_l, k=k_cand, chunk=c_eff
+        )
+        for ci in range(nc)
+    ]
+    dist = jnp.concatenate([p[0] for p in parts])
+    adj = jnp.concatenate([p[1] for p in parts])
+    out = prune_and_link(
+        space, corpus, dist, adj, n_l, m=m, cap=cap, chunk=c_eff,
+        selection=selection, fill=fill,
+    )
+    return out[:n_l]

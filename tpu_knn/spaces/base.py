@@ -123,6 +123,16 @@ class Space:
     #: True when term_from_rows reconstructs the row term exactly.
     term_recompute: bool = False
 
+    def rows_as_queries(self, rows):
+        """Query encodings built directly from (already-encoded) corpus
+        rows, for spaces whose corpus and query transforms coincide
+        (l2, cosine family, l2sqr_sift). Lets construction-time scoring
+        (ops/nndescent.py) derive both sides of a distance from corpus
+        slices/gathers alone — no second encoded corpus copy, no qenc
+        row gathers. Return None when the encodes differ (Bregman KL's
+        log layout, word_embed, fusion)."""
+        return None
+
     def store_as_query_points(self, store: DataStore):
         """The store's raw points in encode_queries' input format, index-
         addressable (used to score corpus points against each other

@@ -222,6 +222,13 @@ class LpSpaceBase(DenseSpace):
     def term_from_rows(self, rows):
         return jnp.sum(rows * rows, axis=-1) if self.p == 2.0 else None
 
+    def rows_as_queries(self, rows):
+        # _transform_x == _transform_q == identity for p=2: a corpus row
+        # IS its own query encoding (term recomputed from the row)
+        if self.p != 2.0:
+            return None
+        return {"q": rows, "q_term": jnp.sum(rows * rows, axis=-1)}
+
     def _block_impl(self, qenc, xc, precision):
         if self.p == 2.0:
             d2 = D.factored(
@@ -295,6 +302,11 @@ class CosineSpace(DenseSpace):
     def pass1_post(self, s, qenc):
         return jnp.maximum(0.0, 1.0 + s)
 
+    def rows_as_queries(self, rows):
+        # corpus rows are pre-normalized at encode; normalizing again is
+        # the identity, so a row is its own query encoding
+        return {"q": rows}
+
     def _transform_x(self, v):
         return _normalize_rows(v)
 
@@ -316,6 +328,9 @@ class AngularSpace(DenseSpace):
     def pass1_post(self, s, qenc):
         return jnp.arccos(jnp.clip(-s, -1.0, 1.0))
 
+    def rows_as_queries(self, rows):
+        return {"q": rows}  # pre-normalized at encode, as in cosinesimil
+
     def _transform_x(self, v):
         return _normalize_rows(v)
 
@@ -330,6 +345,9 @@ class AngularSpace(DenseSpace):
 class NegDotProdSpace(DenseSpace):
     name = "negdotprod"
     SUPPORTS_HOST_QENC = True
+
+    def rows_as_queries(self, rows):
+        return {"q": rows}  # both transforms are the identity
 
     def pass1_affine(self):
         return (-1.0, 0.0, 0.0)
@@ -707,6 +725,16 @@ class L2SqrSiftSpace(DenseSpace):
 
     def pass1_affine(self):
         return (-2.0, 1.0, 1.0)
+
+    def rows_as_queries(self, rows):
+        # corpus rows are the shifted int8 descriptors; the query encode
+        # applies the same shift, so rows are their own query encodings
+        # (terms recomputed exactly — integers < 2^24 in f32)
+        return {
+            "q": rows,
+            "q_term": self.term_from_rows(rows),
+            "_dimconst": jnp.float32(32768.0 * rows.shape[-1]),
+        }
 
     def pass1_post(self, s, qenc):
         return jnp.maximum(s - qenc["_dimconst"], 0.0)

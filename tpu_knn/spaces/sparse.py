@@ -109,6 +109,11 @@ class SketchProxySpace:
     def pass1_post(self, s, qenc):
         return self._post(s)
 
+    def rows_as_queries(self, rows):
+        # construction queries ARE the sketch rows (methods/hnsw.py sets
+        # qenc_all = {"q": pdata.vecs}); any sketch row is its own query
+        return {"q": rows}
+
     def corpus_dict(self, data) -> dict:
         # count: static pad masking in gather paths (no pad gather)
         return {"vecs": data.vecs, "pad": data.extra["pad"], "count": data.count}
