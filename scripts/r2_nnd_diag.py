@@ -1,0 +1,100 @@
+"""NN-descent reverse-link diagnosis + shrink-mode A/B at 300k.
+
+The first 300k measurement (r2_nnd.jsonl, batch31) capped held-out
+recall at ~0.83 FLAT in ef and in nndK — the bimodal signature of
+in-degree starvation: the slot-race reverse fill (first-come by src id)
+leaves a fraction of nodes with ~no in-edges, and a node with no
+in-edges is invisible to every query at ANY ef. This measures the
+mechanism directly (in-degree distribution of level0 per rev mode,
+self-findability of corpus rows) and the fix (nndRevMode=shrink:
+heuristic shrink over [forward | nearest reverse sources] with exact
+distances — bidirectional-insertion semantics).
+
+Appends JSON to /tmp/r2_nnd.jsonl (same log as r2_nnd_build.py).
+"""
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+LOG = "/tmp/r2_nnd.jsonl"
+NQ, K = 2048, 10
+
+
+def emit(**kw):
+    with open(LOG, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(json.dumps(kw), flush=True)
+
+
+def sync(idx):
+    import jax.numpy as jnp
+
+    float(jnp.sum(idx.method.graph["level0"]))
+
+
+def indegree_stats(idx, n):
+    lv0 = np.asarray(idx.method.graph["level0"])[:n]
+    tgt = lv0[lv0 >= 0]
+    indeg = np.bincount(tgt, minlength=n)
+    return dict(
+        indeg_zero_frac=round(float(np.mean(indeg == 0)), 5),
+        indeg_le2_frac=round(float(np.mean(indeg <= 2)), 5),
+        indeg_p5=int(np.percentile(indeg, 5)),
+        indeg_med=int(np.median(indeg)),
+        out_med=int(np.median((lv0 >= 0).sum(1))),
+    )
+
+
+def main():
+    from tpu_knn import Index, Params
+    from tpu_knn.eval.datasets import sift_like
+
+    pts = sift_like(1_002_048, 128, seed=0)
+    corpus, q = pts[:300_000], pts[1_000_000:]
+    gold = np.load("/tmp/gold_sift300k_l2.npz")["ids"] if os.path.exists(
+        "/tmp/gold_sift300k_l2.npz") else None
+    rng = np.random.default_rng(11)
+    self_rows = rng.integers(0, 300_000, NQ)
+
+    for mode, efs in (("shrink", (10, 14, 20, 50, 100)), ("slots", ())):
+        try:
+            t0 = time.perf_counter()
+            idx = Index("l2", Params(dim=128), method="hnsw")
+            idx.add_dense_batch(corpus)
+            idx.build_index(Params(M=16, efConstruction=100,
+                                   buildAlgo="nndescent", nndRevMode=mode))
+            sync(idx)
+            bs = round(time.perf_counter() - t0, 1)
+            st = indegree_stats(idx, 300_000)
+            # self-findability at low ef (positions == object ids here
+            # only under the default 0-based id assignment)
+            idx.set_query_time_params(Params(efSearch=20))
+            _, sids = idx.knn_query_batch(corpus[self_rows], 1)
+            selfhit = round(float(np.mean(np.asarray(sids)[:, 0] == self_rows)), 4)
+            emit(tag=f"nnd300k_{mode}", event="build_ok", build_s=bs,
+                 self_hit_ef20=selfhit, **st)
+            if gold is None:
+                continue
+            for ef in efs:
+                idx.set_query_time_params(Params(efSearch=ef))
+                d, i = idx.knn_query_batch(q, K)
+                t0 = time.perf_counter()
+                d, i = idx.knn_query_batch(q, K)
+                dt = time.perf_counter() - t0
+                rec = float(np.mean([
+                    len(set(a[a >= 0]) & set(b)) / K for a, b in zip(i, gold)
+                ]))
+                emit(tag=f"nnd300k_{mode}", ef=ef, qps=round(len(q) / dt, 1),
+                     recall_at_10=round(rec, 4))
+            del idx
+        except Exception:
+            emit(tag=f"nnd300k_{mode}", event="crash",
+                 err=traceback.format_exc()[-900:])
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,27 @@ def test_cosine_build(data):
     assert _recall(ids, np.asarray(g)) >= 0.9
 
 
+def test_rev_mode_slots_ab(data, gold):
+    # the first-come reverse slot fill stays as an A/B arm
+    corpus, q = data
+    idx = _build(corpus, nndRevMode="slots")
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, gold) >= 0.85
+
+
+def test_self_findability(data):
+    # in-degree starvation check: every corpus point must find itself
+    # at low ef (the slot-race reverse fill measurably fails this at
+    # scale — BASELINE.md round-2 NN-descent notes)
+    corpus, _ = data
+    idx = _build(corpus)
+    idx.set_query_time_params(Params(efSearch=20))
+    _, ids = idx.knn_query_batch(corpus[:256], 1)
+    hits = np.mean(np.asarray(ids)[:, 0] == np.arange(256))
+    assert hits >= 0.99
+
+
 def test_deterministic(data):
     corpus, _ = data
     a = _build(corpus, seed=7)

@@ -525,6 +525,9 @@ class Hnsw(Method):
         # random long-link candidates appended before selection
         # (Kleinberg small-world routing; see ops/nndescent._exact_aug_chunk)
         self.nnd_random = pm.get("nndRandom", 8, int)
+        self.nnd_rev = pm.get("nndRevMode", "shrink", str)
+        if self.nnd_rev not in ("shrink", "slots"):
+            raise ValueError(f"bad nndRevMode {self.nnd_rev!r}")
         # DiskANN-style neighborhood replication: store each node's
         # neighbors' vectors contiguously so one beam expansion is one
         # sequential HBM granule instead of maxM0 row gathers. Costs
@@ -679,6 +682,7 @@ class Hnsw(Method):
             sp, corpus, dist, adj, n,
             m=self.M, cap=self.maxM0, chunk=self.nnd_chunk,
             selection=selection, fill=bool(self.nnd_fill),
+            rev_mode=self.nnd_rev,
         )
         n_pad = self.data.ids.shape[0]
         level0 = level0[:n_pad]
@@ -702,7 +706,7 @@ class Hnsw(Method):
                     m=self.M, cap=self.maxM, k_cand=k_cand,
                     chunk=min(2048, max(n_l, 1)), selection=selection,
                     fill=bool(self.nnd_fill), n_random=self.nnd_random,
-                    seed=self.seed,
+                    seed=self.seed, rev_mode=self.nnd_rev,
                 )
             )
         self._upper = new_upper

@@ -233,20 +233,17 @@ def _exact_aug_chunk(space, corpus, adj, rand, base, *, count: int, chunk: int):
     return _merge_dedup_sorted(d, cand, cand.shape[1])
 
 
-@partial(jax.jit, static_argnames=("space", "m", "chunk", "exact_rule", "fill"))
-def _prune_chunk(space, corpus, adj, dist, base, *, m: int, chunk: int,
-                 exact_rule: bool, fill: bool):
-    """Neighbor-selection heuristic over each node's (exact-scored,
-    ascending) k-NN list, pair distances from one batched matmul over
-    the gathered rows (pairs_from_rows). Returns sel i32[chunk, m].
+def _heur_select(space, corpus, adj_c, dist_c, m: int, exact_rule: bool,
+                 fill: bool):
+    """Neighbor-selection heuristic over (ascending, deduped) candidate
+    lists; pair distances from one batched matmul over the gathered rows
+    (pairs_from_rows). Returns (sel i32[B, m], seld f32[B, m]).
 
     ``fill``: top the survivors up to m with the nearest pruned
     candidates (hnswlib's keepPrunedConnections). A k-NN candidate list
     is all-near (unlike a construction beam's diverse frontier), so the
     domination rule alone keeps ~half as many edges as the wave build
     and measurably hurts navigability (self-query misses at any ef)."""
-    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
-    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
     rows = corpus["vecs"][jnp.clip(adj_c, 0, corpus["vecs"].shape[0] - 1)]
     pair_d = pairs_from_rows(space, rows)
     pair_d = jnp.where(
@@ -254,24 +251,101 @@ def _prune_chunk(space, corpus, adj, dist, base, *, m: int, chunk: int,
     )
     base_d = jnp.where(adj_c < 0, INF, dist_c)
     keep = G.select_neighbors_heuristic(base_d, pair_d, m, exact=exact_rule)
-    if not fill:
-        return G.pack_selected(adj_c, keep, m)
     # kept first (ascending d), then pruned-but-valid (ascending d)
     c = adj_c.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, adj_c.shape, 1)
     key = jnp.where(keep, pos, c + pos)
-    key = jnp.where(adj_c >= 0, key, 2 * c + pos)
+    key = jnp.where((adj_c >= 0) & (base_d < INF), key, 2 * c + pos)
     order = jnp.argsort(key, axis=1)
     sel = jnp.take_along_axis(adj_c, order, 1)[:, :m]
+    seld = jnp.take_along_axis(base_d, order, 1)[:, :m]
     selkey = jnp.take_along_axis(key, order, 1)[:, :m]
-    return jnp.where(selkey < 2 * c, sel, NEG1)
+    lim = 2 * c if fill else c
+    return (jnp.where(selkey < lim, sel, NEG1),
+            jnp.where(selkey < lim, seld, INF))
+
+
+@partial(jax.jit, static_argnames=("space", "m", "chunk", "exact_rule", "fill"))
+def _prune_chunk(space, corpus, adj, dist, base, *, m: int, chunk: int,
+                 exact_rule: bool, fill: bool):
+    """Forward selection for nodes [base, base+chunk): heuristic over
+    each node's k-NN list. Returns (sel i32[chunk, m], seld f32)."""
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+    return _heur_select(space, corpus, adj_c, dist_c, m, exact_rule, fill)
 
 
 @partial(jax.jit, static_argnames=("m", "chunk"))
 def _keep_first_chunk(adj, dist, base, *, m: int, chunk: int):
     """delaunay_type=0: keep the m closest (lists are sorted)."""
     adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
-    return adj_c[:, :m]
+    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+    return adj_c[:, :m], dist_c[:, :m]
+
+
+@partial(jax.jit, static_argnames=("krev", "count"))
+def _rev_nearest(sel, seld, krev: int, count: int):
+    """Nearest-``krev`` reverse sources per target: every forward edge
+    (src -> tgt, d) competes for tgt's reverse-candidate slots by
+    DISTANCE (stable-sorted (tgt, d, src) triples -> first krev per
+    group), unlike _make_b's first-come-by-src slot race. Returns
+    (rev i32[S, krev], revd f32[S, krev])."""
+    s_rows, m = sel.shape
+    src = jnp.broadcast_to(
+        jnp.arange(s_rows, dtype=jnp.int32)[:, None], (s_rows, m)
+    ).reshape(-1)
+    tgt = sel.reshape(-1)
+    d = seld.reshape(-1)
+    valid = (tgt >= 0) & (src < count) & (d < INF)
+    skey = jnp.where(valid, tgt, IDBIG)
+    dkey = jnp.where(valid, d, INF)
+    sn, sd, sp = jax.lax.sort((skey, dkey, src), num_keys=2)
+    npairs = tgt.shape[0]
+    sv = sn < IDBIG
+    first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
+    gid = jnp.clip(jnp.cumsum(first) - 1, 0, npairs - 1)
+    iar = jnp.arange(npairs, dtype=jnp.int32)
+    gstart = jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
+    pos = iar - gstart[gid]
+    ok = sv & (pos < krev)
+    row = jnp.where(ok, sn, s_rows)
+    col = jnp.clip(pos, 0, krev - 1)
+    rev = jnp.full((s_rows, krev), NEG1).at[row, col].set(
+        jnp.where(ok, sp, NEG1), mode="drop"
+    )
+    revd = jnp.full((s_rows, krev), INF).at[row, col].set(
+        jnp.where(ok, sd, INF), mode="drop"
+    )
+    return rev, revd
+
+
+@partial(jax.jit, static_argnames=("space", "cap", "chunk", "exact_rule",
+                                   "fill", "heur"))
+def _shrink_chunk(space, corpus, sel, seld, rev, revd, base, *, cap: int,
+                  chunk: int, exact_rule: bool, fill: bool, heur: bool):
+    """Final adjacency rows for [base, base+chunk): heuristic shrink
+    over [forward-selected | nearest reverse sources] with their exact
+    distances — the batched equivalent of hnswlib's bidirectional-link
+    overflow shrink (reference hnsw.h:258-314), replacing the slot-race
+    reverse fill. A reverse edge competes by distance+diversity, so a
+    node that forward-selects its true neighbors earns in-edges from
+    them instead of losing a first-come race (in-degree starvation was
+    measured to cap held-out recall at ~0.83 flat in ef at 300k)."""
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    cand = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(sel, base, chunk, 0),
+        jax.lax.dynamic_slice_in_dim(rev, base, chunk, 0),
+    ], axis=1)
+    d = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(seld, base, chunk, 0),
+        jax.lax.dynamic_slice_in_dim(revd, base, chunk, 0),
+    ], axis=1)
+    d = jnp.where((cand < 0) | (cand == node[:, None]), INF, d)
+    d, cand = _merge_dedup_sorted(d, cand, cand.shape[1])
+    if not heur:
+        return cand[:, :cap]
+    out, _ = _heur_select(space, corpus, cand, d, cap, exact_rule, fill)
+    return out
 
 
 @partial(jax.jit, static_argnames=("cap", "count"))
@@ -389,27 +463,44 @@ def prune_and_link(
     chunk: int,
     selection: str = "heur",
     fill: bool = True,
+    rev_mode: str = "shrink",
 ):
     """k-NN lists -> navigable adjacency: heuristic forward selection to
-    m edges (pruned-fill per ``fill``), then reverse-fill to ``cap``.
-    Returns i32[S, cap]."""
+    m edges (pruned-fill per ``fill``), then reverse linking to ``cap``.
+    Returns i32[S, cap].
+
+    rev_mode="shrink" (default): gather each node's nearest-``cap``
+    reverse sources and heuristic-shrink [forward | reverse] with exact
+    distances — bidirectional-insertion semantics (hnsw.h:258-314).
+    rev_mode="slots": the first-come reverse slot fill (A/B arm; caps
+    recall via in-degree starvation on dense clusters)."""
     n_state = adj.shape[0]
     c_eff = int(min(chunk, n_state))
     nc = (n_state + c_eff - 1) // c_eff
-    sels = []
-    for ci in range(nc):
-        if selection == "none":
-            sels.append(_keep_first_chunk(adj, dist, ci * c_eff, m=m, chunk=c_eff))
-        else:
-            sels.append(
-                _prune_chunk(
-                    space, corpus, adj, dist, ci * c_eff,
-                    m=m, chunk=c_eff, exact_rule=selection != "rng",
-                    fill=fill,
-                )
-            )
-    sel = jnp.concatenate(sels)
-    return _reverse_fill(sel, cap, n)
+    heur = selection != "none"
+    parts = [
+        _keep_first_chunk(adj, dist, ci * c_eff, m=m, chunk=c_eff)
+        if not heur
+        else _prune_chunk(
+            space, corpus, adj, dist, ci * c_eff,
+            m=m, chunk=c_eff, exact_rule=selection != "rng", fill=fill,
+        )
+        for ci in range(nc)
+    ]
+    sel = jnp.concatenate([p[0] for p in parts])
+    if rev_mode == "slots":
+        return _reverse_fill(sel, cap, n)
+    seld = jnp.concatenate([p[1] for p in parts])
+    rev, revd = _rev_nearest(sel, seld, cap, n)
+    outs = [
+        _shrink_chunk(
+            space, corpus, sel, seld, rev, revd, ci * c_eff,
+            cap=cap, chunk=c_eff, exact_rule=selection != "rng",
+            fill=fill, heur=heur,
+        )
+        for ci in range(nc)
+    ]
+    return jnp.concatenate(outs)
 
 
 # ---------------- reachability repair ----------------
@@ -562,7 +653,7 @@ def _level_knn_chunk(space, corpus, rand, base, *, n_l: int, k: int, chunk: int)
 def build_level_exact(
     space, corpus: dict, n_l: int, *, m: int, cap: int, k_cand: int,
     chunk: int, selection: str = "heur", fill: bool = True,
-    n_random: int = 6, seed: int = 0,
+    n_random: int = 6, seed: int = 0, rev_mode: str = "shrink",
 ):
     """One upper level: exact k-NN among the first n_l nodes + the same
     prune/reverse-fill as level 0. Returns i32[n_l, cap]."""
@@ -582,6 +673,6 @@ def build_level_exact(
     adj = jnp.concatenate([p[1] for p in parts])
     out = prune_and_link(
         space, corpus, dist, adj, n_l, m=m, cap=cap, chunk=c_eff,
-        selection=selection, fill=fill,
+        selection=selection, fill=fill, rev_mode=rev_mode,
     )
     return out[:n_l]
