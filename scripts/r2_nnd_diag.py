@@ -91,6 +91,25 @@ def main():
                 emit(tag=f"nnd300k_{mode}", ef=ef, qps=round(len(q) / dt, 1),
                      recall_at_10=round(rec, 4))
             del idx
+            if mode == "shrink":
+                # warm rebuild: same shapes -> compiled programs reused,
+                # separating one-time jit compile (per-process, tunnel)
+                # from the device/dispatch execute cost. The k48 i6-vs-
+                # i10 pair (190.0 vs 212.4 s) says ~5.6 s/sweep and a
+                # ~156 s fixed cost — if build2_s is small, the cold
+                # "build_s" headline is mostly compile, and local-
+                # hardware builds (persistent compile cache) run at
+                # build2_s.
+                t0 = time.perf_counter()
+                idx = Index("l2", Params(dim=128), method="hnsw")
+                idx.add_dense_batch(corpus)
+                idx.build_index(Params(M=16, efConstruction=100,
+                                       buildAlgo="nndescent",
+                                       nndRevMode=mode))
+                sync(idx)
+                emit(tag=f"nnd300k_{mode}", event="warm_rebuild",
+                     build2_s=round(time.perf_counter() - t0, 1))
+                del idx
         except Exception:
             emit(tag=f"nnd300k_{mode}", event="crash",
                  err=traceback.format_exc()[-900:])

@@ -523,7 +523,7 @@ class Hnsw(Method):
         # all-near, so the bare domination rule underfills rows
         self.nnd_fill = pm.get("nndFillPruned", 1, int)
         # random long-link candidates appended before selection
-        # (Kleinberg small-world routing; see ops/nndescent._exact_aug_chunk)
+        # (Kleinberg small-world routing; see ops/nndescent._exact_aug_body)
         self.nnd_random = pm.get("nndRandom", 8, int)
         self.nnd_rev = pm.get("nndRevMode", "shrink", str)
         if self.nnd_rev not in ("shrink", "slots"):

@@ -153,8 +153,7 @@ def _merge_dedup_sorted(all_d, all_i, k: int):
     return d, jnp.where(ids == IDBIG, NEG1, ids)
 
 
-@partial(jax.jit, static_argnames=("space", "t_keep", "count", "chunk", "xscale"))
-def _descent_chunk(
+def _descent_body(
     space, adj, dist, b, store, qvecs, base, *,
     t_keep: int, count: int, chunk: int, xscale: float,
 ):
@@ -194,8 +193,31 @@ def _descent_chunk(
     return nd, ni, jnp.sum(ni != adj_c)
 
 
-@partial(jax.jit, static_argnames=("space", "count", "chunk"))
-def _exact_chunk(space, corpus, adj, base, *, count: int, chunk: int):
+@partial(jax.jit, static_argnames=("space", "t_keep", "count", "chunk",
+                                   "xscale", "nc"))
+def _descent_sweep(space, adj, dist, b, store, qvecs, *, t_keep: int,
+                   count: int, chunk: int, xscale: float, nc: int):
+    """One full refinement sweep as ONE dispatch: fori_loop over the nc
+    node chunks, writing each chunk's merged lists into fresh carries
+    (Jacobi — every chunk reads the same frozen adj/dist/b/store).
+    The per-chunk host-dispatch formulation cost ~19 ms/chunk over a
+    remote link (~5.6 s/sweep at 300k, measured r2_nnd.jsonl) against
+    <1 ms of device work; at 1M that was the whole build."""
+
+    def body(ci, state):
+        adj_new, dist_new, changed = state
+        nd, ni, ch = _descent_body(
+            space, adj, dist, b, store, qvecs, ci * chunk,
+            t_keep=t_keep, count=count, chunk=chunk, xscale=xscale,
+        )
+        adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, ci * chunk, 0)
+        dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, ci * chunk, 0)
+        return adj_new, dist_new, changed + ch
+
+    return jax.lax.fori_loop(0, nc, body, (adj, dist, jnp.int32(0)))
+
+
+def _exact_body(space, corpus, adj, base, *, count: int, chunk: int):
     """Exact re-score of the chunk's k-NN lists from the f32 corpus
     (one program for every entry -> authoritative dedup + ordering)."""
     k = adj.shape[1]
@@ -209,8 +231,23 @@ def _exact_chunk(space, corpus, adj, base, *, count: int, chunk: int):
     return _merge_dedup_sorted(d, adj_c, k)
 
 
-@partial(jax.jit, static_argnames=("space", "count", "chunk"))
-def _exact_aug_chunk(space, corpus, adj, rand, base, *, count: int, chunk: int):
+@partial(jax.jit, static_argnames=("space", "count", "chunk", "nc"))
+def _exact_sweep(space, corpus, adj, *, count: int, chunk: int, nc: int):
+    """Exact re-score of every chunk's lists in ONE dispatch."""
+
+    def body(ci, state):
+        dist_new, adj_new = state
+        nd, ni = _exact_body(space, corpus, adj, ci * chunk,
+                             count=count, chunk=chunk)
+        dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, ci * chunk, 0)
+        adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, ci * chunk, 0)
+        return dist_new, adj_new
+
+    init = (jnp.full(adj.shape, INF), jnp.full(adj.shape, NEG1))
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
+def _exact_aug_body(space, corpus, adj, rand, base, *, count: int, chunk: int):
     """Exact re-score of [k-NN list | random long-link candidates].
 
     A k-NN candidate list contains NO long edges, so the selection
@@ -231,6 +268,25 @@ def _exact_aug_chunk(space, corpus, adj, rand, base, *, count: int, chunk: int):
     d = G.score_rows(space, qe, corpus, cand)
     d = jnp.where((cand == node[:, None]) | (cand >= count), INF, d)
     return _merge_dedup_sorted(d, cand, cand.shape[1])
+
+
+@partial(jax.jit, static_argnames=("space", "count", "chunk", "nc"))
+def _exact_aug_sweep(space, corpus, adj, rand, *, count: int, chunk: int,
+                     nc: int):
+    """Exact re-score + random augmentation, ONE dispatch."""
+    w = adj.shape[1] + rand.shape[1]
+
+    def body(ci, state):
+        dist_new, adj_new = state
+        nd, ni = _exact_aug_body(space, corpus, adj, rand, ci * chunk,
+                                 count=count, chunk=chunk)
+        dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, ci * chunk, 0)
+        adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, ci * chunk, 0)
+        return dist_new, adj_new
+
+    init = (jnp.full((adj.shape[0], w), INF),
+            jnp.full((adj.shape[0], w), NEG1))
+    return jax.lax.fori_loop(0, nc, body, init)
 
 
 def _heur_select(space, corpus, adj_c, dist_c, m: int, exact_rule: bool,
@@ -265,22 +321,30 @@ def _heur_select(space, corpus, adj_c, dist_c, m: int, exact_rule: bool,
             jnp.where(selkey < lim, seld, INF))
 
 
-@partial(jax.jit, static_argnames=("space", "m", "chunk", "exact_rule", "fill"))
-def _prune_chunk(space, corpus, adj, dist, base, *, m: int, chunk: int,
-                 exact_rule: bool, fill: bool):
-    """Forward selection for nodes [base, base+chunk): heuristic over
-    each node's k-NN list. Returns (sel i32[chunk, m], seld f32)."""
-    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
-    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
-    return _heur_select(space, corpus, adj_c, dist_c, m, exact_rule, fill)
+@partial(jax.jit, static_argnames=("space", "m", "chunk", "nc", "exact_rule",
+                                   "fill", "heur"))
+def _prune_sweep(space, corpus, adj, dist, *, m: int, chunk: int, nc: int,
+                 exact_rule: bool, fill: bool, heur: bool):
+    """Forward selection for every node, ONE dispatch: heuristic over
+    each node's k-NN list (or keep-m-closest for delaunay_type=0).
+    Returns (sel i32[S, m], seld f32[S, m])."""
 
+    def body(ci, state):
+        sel, seld = state
+        adj_c = jax.lax.dynamic_slice_in_dim(adj, ci * chunk, chunk, 0)
+        dist_c = jax.lax.dynamic_slice_in_dim(dist, ci * chunk, chunk, 0)
+        if heur:
+            s, sd = _heur_select(space, corpus, adj_c, dist_c, m,
+                                 exact_rule, fill)
+        else:
+            s, sd = adj_c[:, :m], dist_c[:, :m]
+        sel = jax.lax.dynamic_update_slice_in_dim(sel, s, ci * chunk, 0)
+        seld = jax.lax.dynamic_update_slice_in_dim(seld, sd, ci * chunk, 0)
+        return sel, seld
 
-@partial(jax.jit, static_argnames=("m", "chunk"))
-def _keep_first_chunk(adj, dist, base, *, m: int, chunk: int):
-    """delaunay_type=0: keep the m closest (lists are sorted)."""
-    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
-    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
-    return adj_c[:, :m], dist_c[:, :m]
+    init = (jnp.full((adj.shape[0], m), NEG1),
+            jnp.full((adj.shape[0], m), INF))
+    return jax.lax.fori_loop(0, nc, body, init)
 
 
 @partial(jax.jit, static_argnames=("krev", "count"))
@@ -319,33 +383,42 @@ def _rev_nearest(sel, seld, krev: int, count: int):
     return rev, revd
 
 
-@partial(jax.jit, static_argnames=("space", "cap", "chunk", "exact_rule",
-                                   "fill", "heur"))
-def _shrink_chunk(space, corpus, sel, seld, rev, revd, base, *, cap: int,
-                  chunk: int, exact_rule: bool, fill: bool, heur: bool):
-    """Final adjacency rows for [base, base+chunk): heuristic shrink
-    over [forward-selected | nearest reverse sources] with their exact
+@partial(jax.jit, static_argnames=("space", "cap", "chunk", "nc",
+                                   "exact_rule", "fill", "heur"))
+def _shrink_sweep(space, corpus, sel, seld, rev, revd, *, cap: int,
+                  chunk: int, nc: int, exact_rule: bool, fill: bool,
+                  heur: bool):
+    """Final adjacency in ONE dispatch: per node, heuristic shrink over
+    [forward-selected | nearest reverse sources] with their exact
     distances — the batched equivalent of hnswlib's bidirectional-link
     overflow shrink (reference hnsw.h:258-314), replacing the slot-race
     reverse fill. A reverse edge competes by distance+diversity, so a
     node that forward-selects its true neighbors earns in-edges from
     them instead of losing a first-come race (in-degree starvation was
     measured to cap held-out recall at ~0.83 flat in ef at 300k)."""
-    node = base + jnp.arange(chunk, dtype=jnp.int32)
-    cand = jnp.concatenate([
-        jax.lax.dynamic_slice_in_dim(sel, base, chunk, 0),
-        jax.lax.dynamic_slice_in_dim(rev, base, chunk, 0),
-    ], axis=1)
-    d = jnp.concatenate([
-        jax.lax.dynamic_slice_in_dim(seld, base, chunk, 0),
-        jax.lax.dynamic_slice_in_dim(revd, base, chunk, 0),
-    ], axis=1)
-    d = jnp.where((cand < 0) | (cand == node[:, None]), INF, d)
-    d, cand = _merge_dedup_sorted(d, cand, cand.shape[1])
-    if not heur:
-        return cand[:, :cap]
-    out, _ = _heur_select(space, corpus, cand, d, cap, exact_rule, fill)
-    return out
+
+    def body(ci, out):
+        base = ci * chunk
+        node = base + jnp.arange(chunk, dtype=jnp.int32)
+        cand = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(sel, base, chunk, 0),
+            jax.lax.dynamic_slice_in_dim(rev, base, chunk, 0),
+        ], axis=1)
+        d = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(seld, base, chunk, 0),
+            jax.lax.dynamic_slice_in_dim(revd, base, chunk, 0),
+        ], axis=1)
+        d = jnp.where((cand < 0) | (cand == node[:, None]), INF, d)
+        d, cand = _merge_dedup_sorted(d, cand, cand.shape[1])
+        if heur:
+            rows, _ = _heur_select(space, corpus, cand, d, cap,
+                                   exact_rule, fill)
+        else:
+            rows = cand[:, :cap]
+        return jax.lax.dynamic_update_slice_in_dim(out, rows, base, 0)
+
+    init = jnp.full((sel.shape[0], cap), NEG1)
+    return jax.lax.fori_loop(0, nc, body, init)
 
 
 @partial(jax.jit, static_argnames=("cap", "count"))
@@ -409,45 +482,30 @@ def build_knn_graph(
     init = np.where(init == (np.arange(n_state)[:, None]), (init + 1) % max(n, 1), init)
     init[n:] = -1
     adj = jnp.asarray(init.astype(np.int32))
-    dist = jnp.full((n_state, k), INF)
     # exact-score the random init
-    parts = [
-        _exact_chunk(space, corpus, adj, ci * c_eff, count=n, chunk=c_eff)
-        for ci in range(nc)
-    ]
-    dist = jnp.concatenate([p[0] for p in parts])
-    adj = jnp.concatenate([p[1] for p in parts])
+    dist, adj = _exact_sweep(space, corpus, adj, count=n, chunk=c_eff, nc=nc)
 
     for it in range(iters):
         b = _make_b(adj, krev, n)
         store = _gather_store(xq, b)
-        outs = [
-            _descent_chunk(
-                space, adj, dist, b, store, vecs, ci * c_eff,
-                t_keep=t_keep, count=n, chunk=c_eff, xscale=xscale,
-            )
-            for ci in range(nc)
-        ]
-        dist = jnp.concatenate([o[0] for o in outs])
-        adj = jnp.concatenate([o[1] for o in outs])
-        changed = int(sum(int(o[2]) for o in outs))
+        adj, dist, ch = _descent_sweep(
+            space, adj, dist, b, store, vecs,
+            t_keep=t_keep, count=n, chunk=c_eff, xscale=xscale, nc=nc,
+        )
+        changed = int(ch)  # the one host sync per sweep
         if progress:
             progress(it, changed)
         if changed <= min_update_frac * n * k:
             break
 
     # final exact pass, with random long-link candidates appended so
-    # the downstream heuristic has far edges to keep (see _exact_aug_chunk)
+    # the downstream heuristic has far edges to keep (see _exact_aug_body)
     r = max(n_random, 1)
     rnd = rng.integers(0, max(n, 1), size=(n_state, r)).astype(np.int32)
     rnd[n:] = -1
     rand = jnp.asarray(rnd)
-    parts = [
-        _exact_aug_chunk(space, corpus, adj, rand, ci * c_eff, count=n, chunk=c_eff)
-        for ci in range(nc)
-    ]
-    dist = jnp.concatenate([p[0] for p in parts])
-    adj = jnp.concatenate([p[1] for p in parts])
+    dist, adj = _exact_aug_sweep(space, corpus, adj, rand, count=n,
+                                 chunk=c_eff, nc=nc)
     return dist, adj
 
 
@@ -478,29 +536,18 @@ def prune_and_link(
     c_eff = int(min(chunk, n_state))
     nc = (n_state + c_eff - 1) // c_eff
     heur = selection != "none"
-    parts = [
-        _keep_first_chunk(adj, dist, ci * c_eff, m=m, chunk=c_eff)
-        if not heur
-        else _prune_chunk(
-            space, corpus, adj, dist, ci * c_eff,
-            m=m, chunk=c_eff, exact_rule=selection != "rng", fill=fill,
-        )
-        for ci in range(nc)
-    ]
-    sel = jnp.concatenate([p[0] for p in parts])
+    exact_rule = selection != "rng"
+    sel, seld = _prune_sweep(
+        space, corpus, adj, dist, m=m, chunk=c_eff, nc=nc,
+        exact_rule=exact_rule, fill=fill, heur=heur,
+    )
     if rev_mode == "slots":
         return _reverse_fill(sel, cap, n)
-    seld = jnp.concatenate([p[1] for p in parts])
     rev, revd = _rev_nearest(sel, seld, cap, n)
-    outs = [
-        _shrink_chunk(
-            space, corpus, sel, seld, rev, revd, ci * c_eff,
-            cap=cap, chunk=c_eff, exact_rule=selection != "rng",
-            fill=fill, heur=heur,
-        )
-        for ci in range(nc)
-    ]
-    return jnp.concatenate(outs)
+    return _shrink_sweep(
+        space, corpus, sel, seld, rev, revd, cap=cap, chunk=c_eff, nc=nc,
+        exact_rule=exact_rule, fill=fill, heur=heur,
+    )
 
 
 # ---------------- reachability repair ----------------
@@ -617,7 +664,7 @@ def _level_knn_chunk(space, corpus, rand, base, *, n_l: int, k: int, chunk: int)
     """Exact k-NN of member chunk [base, base+chunk) among members
     [0, n_l) (level-sorted order makes every level a prefix), plus the
     node's random long-link candidates (same rationale as
-    _exact_aug_chunk — upper-level greedy routing needs far edges too).
+    _exact_aug_body — upper-level greedy routing needs far edges too).
     One full-width affine block + top-k — upper levels are small enough
     (N_l <= N/M) that brute force beats any index."""
     from .topk import smallest_k
