@@ -665,7 +665,10 @@ class Hnsw(Method):
         corpus = _corpus_dict(sp, self._graph_data)
         # construction scores both sides from corpus rows — the second
         # encoded-corpus copy from _encode_store is dead weight; free it
-        self._qenc_all = None
+        # (unless the method keeps wave state for post-build maintenance:
+        # sw_graph's delete patching scores pairs with _qenc_all)
+        if not self.KEEP_WAVE_STATE:
+            self._qenc_all = None
         selection = "none" if self.delaunay_type == 0 else "heur"
         prog = (
             (lambda it, ch: log("INFO", f"hnsw nnd sweep {it + 1}: {ch} updates"))
