@@ -513,7 +513,10 @@ class Hnsw(Method):
         self.nnd_krev = pm.get("nndKrev", 16, int)
         self.nnd_t = pm.get("nndT", 8, int)
         self.nnd_iters = pm.get("nndIters", 10, int)
-        self.nnd_chunk = pm.get("nndChunk", 1024, int)
+        # 512 (was 1024): transients scale with the chunk and dispatches
+        # no longer do (fused sweeps) — chunk=1024's candidate block
+        # OOMed the 1M build next to the resident store
+        self.nnd_chunk = pm.get("nndChunk", 512, int)
         self.nnd_level_k = pm.get("nndLevelK", 64, int)
         self.nnd_store = pm.get("nndStoreDtype", "int8", str)
         if self.nnd_store not in ("int8", "float32"):

@@ -54,19 +54,28 @@ def _score_from_rows(space, qenc: dict, rows, xscale: float):
     """Distances between per-chunk queries qenc['q'] [C, D] and candidate
     rows [C, ..., D] (broadcast over middle dims). rows may be a
     quantized store (int8 * xscale); terms are recomputed from the
-    dequantized rows so the affine identity stays consistent."""
+    dequantized rows so the affine identity stays consistent.
+
+    Scoring runs in bf16 (f32 accumulation): this ranks DESCENT
+    candidates only — the final sweep re-scores every survivor exactly
+    from f32 corpus rows — and the int8 store quantization (~1/127
+    relative) is already coarser than bf16 rounding. The f32 dequant of
+    a [C, kb, kb, D] candidate block was a 2 GB transient at chunk=1024
+    that RESOURCE_EXHAUSTED the 1M build next to the 8.2 GB resident
+    store; bf16 halves it."""
     scale, sq, sx = space.pass1_affine()
-    q = qenc["q"].astype(jnp.float32)
-    r = rows.astype(jnp.float32)
+    q = qenc["q"].astype(jnp.bfloat16)
+    r = rows.astype(jnp.bfloat16)
     if xscale != 1.0:
-        r = r * xscale
-    g = jnp.einsum("cd,c...d->c...", q, r)
+        r = r * jnp.bfloat16(xscale)
+    g = jnp.einsum("cd,c...d->c...", q, r,
+                   preferred_element_type=jnp.float32)
     s = scale * g
     if sq != 0.0 and "q_term" in qenc:
         qt = qenc["q_term"]
         s = s + sq * qt.reshape(qt.shape + (1,) * (g.ndim - 1))
     if sx != 0.0:
-        t = space.term_from_rows(r)
+        t = space.term_from_rows(r.astype(jnp.float32))
         if t is not None:
             s = s + sx * t
     return space.pass1_post(s, qenc)
@@ -498,6 +507,9 @@ def build_knn_graph(
         if changed <= min_update_frac * n * k:
             break
 
+    # free the neighborhood store (8.2 GB at 1M) before the final exact
+    # pass — it is descent-only state
+    b = store = None
     # final exact pass, with random long-link candidates appended so
     # the downstream heuristic has far edges to keep (see _exact_aug_body)
     r = max(n_random, 1)
