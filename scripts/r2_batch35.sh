@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-2 thirty-fifth batch: retry the NN-descent 1M build after the
+# OOM fix (bf16 descent scoring + chunk 512 + store freed pre-final).
+# Usage: r2_batch35.sh [WAIT_PID].
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+if [ -n "${1:-}" ]; then
+  while kill -0 "$1" 2>/dev/null; do sleep 60; done
+  sleep 60
+fi
+run() {
+  echo "=== $1 ${3:-} ($(date +%H:%M:%S)) ==="
+  timeout "$2" python "scripts/$1" ${3:-} > "/tmp/r2_b35_$(basename "$1" .py)_${3:-x}.log" 2>&1
+  echo "=== $1 ${3:-} done rc=$? ($(date +%H:%M:%S)) ==="
+  sleep 30
+}
+run r2_nnd_build.py 7200 1m
+echo "=== batch35 complete ($(date +%H:%M:%S)) ==="
