@@ -531,6 +531,7 @@ class Hnsw(Method):
         self.nnd_rev = pm.get("nndRevMode", "shrink", str)
         if self.nnd_rev not in ("shrink", "slots"):
             raise ValueError(f"bad nndRevMode {self.nnd_rev!r}")
+        self.nnd_polish = pm.get("nndPolish", 1, int)
         # DiskANN-style neighborhood replication: store each node's
         # neighbors' vectors contiguously so one beam expansion is one
         # sequential HBM granule instead of maxM0 row gathers. Costs
@@ -684,24 +685,27 @@ class Hnsw(Method):
             store_dtype=self.nnd_store, n_random=self.nnd_random,
             progress=prog,
         )
-        level0 = ND.prune_and_link(
-            sp, corpus, dist, adj, n,
-            m=self.M, cap=self.maxM0, chunk=self.nnd_chunk,
-            selection=selection, fill=bool(self.nnd_fill),
-            rev_mode=self.nnd_rev,
-        )
         n_pad = self.data.ids.shape[0]
-        level0 = level0[:n_pad]
-        # a refinement-built graph has no insertion-time reachability
-        # guarantee: link stranded components back to the entry's (see
-        # ops/nndescent.repair_reachability)
-        level0, fixed = ND.repair_reachability(
-            sp, corpus, level0, n, entry=self._entry
-        )
-        if fixed:
-            log("INFO", f"hnsw nnd: repaired reachability of {fixed} nodes")
-        self.graph = {"level0": level0}
-        del dist, adj, level0
+
+        def link():
+            """k-NN lists -> level-0 adjacency (+ reachability repair)."""
+            lv0 = ND.prune_and_link(
+                sp, corpus, dist, adj, n,
+                m=self.M, cap=self.maxM0, chunk=self.nnd_chunk,
+                selection=selection, fill=bool(self.nnd_fill),
+                rev_mode=self.nnd_rev,
+            )[:n_pad]
+            # a refinement-built graph has no insertion-time reachability
+            # guarantee: link stranded components back to the entry's
+            # (see ops/nndescent.repair_reachability)
+            lv0, fixed = ND.repair_reachability(
+                sp, corpus, lv0, n, entry=self._entry
+            )
+            if fixed:
+                log("INFO", f"hnsw nnd: repaired reachability of {fixed} nodes")
+            return lv0
+
+        level0 = link()
         new_upper = []
         for l in range(1, self._max_level + 1):
             n_l = self._upper[l - 1].shape[0]
@@ -716,6 +720,19 @@ class Hnsw(Method):
                 )
             )
         self._upper = new_upper
+        # beam-polish passes: batched re-insertion of every node through
+        # the built graph — the beam's path candidates restore the
+        # mid-range (distance-halving) edges the k-NN + uniform-random
+        # candidate pool lacks (ops/nndescent._polish_sweep rationale)
+        for _ in range(self.nnd_polish):
+            dist, adj = ND.polish_knn_lists(
+                sp, corpus, level0, self._upper, dist, adj, n,
+                efc=self.ef_construction, expand=self.construction_expand,
+                entry=self._entry, chunk=min(2048, self.nnd_chunk * 2),
+            )
+            level0 = link()
+        self.graph = {"level0": level0}
+        del dist, adj, level0
         return True
 
     def _drop_wave_state(self) -> None:

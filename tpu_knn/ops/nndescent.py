@@ -562,6 +562,94 @@ def prune_and_link(
     )
 
 
+# ---------------- beam polish ----------------
+
+
+@partial(jax.jit, static_argnames=("space", "efc", "expand", "entry",
+                                   "count", "chunk", "nc"))
+def _polish_sweep(space, corpus, level0, uppers, dist, adj, *, efc: int,
+                  expand: int, entry: int, count: int, chunk: int, nc: int):
+    """Batched re-insertion: run the QUERY search path (greedy upper
+    descent + level-0 beam at efConstruction) for every corpus node over
+    the built graph and merge the beam's candidates into its k-NN list.
+
+    Rationale (measured, 300k): the NN-descent candidate pool is all-near
+    (k-NN) plus all-far (uniform randoms — high-d concentration leaves
+    nothing mid-range), so the pruned graph lacks the distance-halving
+    edges greedy routing needs at every scale (Kleinberg) — recall
+    plateaued at 0.86 FLAT in ef with healthy in-degree (self-hit ==
+    held-out recall: whole regions unreachable from the entry). The
+    wave build never has this problem because every node's candidates
+    come from an efConstruction BEAM — path candidates at every
+    distance scale. This pass reproduces exactly that candidate
+    distribution for all nodes at once (Jacobi re-insertion); a node in
+    an unreachable region gains edges to its beam PATH (and reverse
+    edges from it via the shrink), splicing an improving path into its
+    region. ONE dispatch per pass.
+    """
+
+    def body(ci, state):
+        dist_new, adj_new = state
+        base = ci * chunk
+        node = base + jnp.arange(chunk, dtype=jnp.int32)
+        vecs = corpus["vecs"]
+        # clipped gather, NOT dynamic_slice: the graph state is padded to
+        # a chunk multiple >= the corpus padding, and a clamped slice
+        # would misalign q vs node for the whole last chunk
+        q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
+        qe = space.rows_as_queries(q)
+        cur = jnp.full(chunk, entry, jnp.int32)
+        cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
+        for adj_u in reversed(uppers):
+            cur, cur_d = G.greedy_descent(space, qe, corpus, adj_u, None,
+                                          cur, cur_d)
+        bd, bi, _ = G.beam_search(space, qe, corpus, level0, None, cur,
+                                  ef=efc, expand=expand)
+        bd = jnp.where(
+            (bi == node[:, None]) | (bi >= count) | (bi < 0)
+            | (node[:, None] >= count),  # pad-state rows stay empty
+            INF, bd,
+        )
+        adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+        dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+        cat_d = jnp.concatenate([dist_c, bd], axis=1)
+        cat_i = jnp.concatenate([adj_c, bi], axis=1)
+        # dedup WITHOUT truncation: a nearest-width cut would let the
+        # beam's near candidates displace the list's far/random entries,
+        # stripping exactly the diversity the selection heuristic needs
+        # (measured: truncating here DROPPED 10k self-hit 0.990 -> 0.967)
+        nd, ni = _merge_dedup_sorted(cat_d, cat_i, cat_d.shape[1])
+        dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, base, 0)
+        adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, base, 0)
+        return dist_new, adj_new
+
+    w_out = dist.shape[1] + efc  # beam_search returns [B, ef]
+    init = (jnp.full((dist.shape[0], w_out), INF),
+            jnp.full((adj.shape[0], w_out), NEG1))
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
+def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
+                     efc: int, expand: int, entry: int, chunk: int):
+    """One beam-polish pass over all nodes (see _polish_sweep). Returns
+    the augmented-and-remerged (dist, adj), same width."""
+    n_state = adj.shape[0]
+    c_eff = int(min(chunk, n_state))
+    nc = (n_state + c_eff - 1) // c_eff
+    # the state must be a chunk multiple or the clamped dynamic slices
+    # of the last chunk misalign against `node` — pad, sweep, slice back
+    n2 = nc * c_eff
+    if n2 != n_state:
+        dist = jnp.concatenate([dist, jnp.full((n2 - n_state, dist.shape[1]), INF)])
+        adj = jnp.concatenate([adj, jnp.full((n2 - n_state, adj.shape[1]), NEG1)])
+    dist, adj = _polish_sweep(
+        space, corpus, level0, tuple(uppers), dist, adj,
+        efc=efc, expand=expand, entry=int(entry), count=n,
+        chunk=c_eff, nc=nc,
+    )
+    return dist[:n_state], adj[:n_state]
+
+
 # ---------------- reachability repair ----------------
 
 
