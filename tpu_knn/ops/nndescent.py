@@ -494,7 +494,15 @@ def build_knn_graph(
     # exact-score the random init
     dist, adj = _exact_sweep(space, corpus, adj, count=n, chunk=c_eff, nc=nc)
 
+    store = None
     for it in range(iters):
+        # free the PREVIOUS sweep's replicated store before gathering the
+        # next: rebinding `store =` evaluates the gather while the old
+        # 8+ GB buffer is still referenced, so two stores sit resident
+        # (16+ GB at 1M x kb=64 x 128) — the measured RESOURCE_EXHAUSTED
+        # on sweep 2 at 1M/GloVe scales. The int(ch) sync below means the
+        # prior sweep has fully consumed it by the time we get here.
+        store = None
         b = _make_b(adj, krev, n)
         store = _gather_store(xq, b)
         adj, dist, ch = _descent_sweep(
