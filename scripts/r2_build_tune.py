@@ -11,6 +11,8 @@ Appends JSON to /tmp/r2_btune.jsonl.
 """
 
 import json
+import os
+import sys
 import time
 import traceback
 
@@ -31,6 +33,53 @@ def main():
 
     from tpu_knn import Index, Params
     from tpu_knn.eval.datasets import sift_like
+
+    stage = sys.argv[1] if len(sys.argv) > 1 else "300k"
+    if stage == "expand1m":
+        # the unresolved 300k-vs-1M expand reversal (r2_b1mc 1,994.9 s at
+        # expand=4 vs the 774-1,031 s expand=16 era): one PROCESS, same
+        # tunnel conditions, both arms + a repeat of the first arm to
+        # bound drift. Tagged rows in the same jsonl.
+        n = 1_000_000
+        pts = sift_like(n + NQ, 128, seed=0)
+        corpus, q = pts[:n], pts[n:]
+        gpath = "/tmp/gold_sift1m_l2.npz"
+        if not os.path.exists(gpath):
+            ex = Index("l2", Params(dim=128), method="seq_search")
+            ex.add_dense_batch(corpus)
+            ex.build_index()
+            _, gi = ex.knn_query_batch(q, K)
+            np.savez(gpath, ids=np.asarray(gi))
+            del ex
+        gold = np.load(gpath)["ids"]
+        try:
+            for tag, expand in (("e16", 16), ("e4", 4), ("e16b", 16)):
+                idx = Index("l2", Params(dim=128), method="hnsw")
+                idx.add_dense_batch(corpus)
+                t0 = time.perf_counter()
+                idx.build_index(Params(M=16, efConstruction=100,
+                                       waveSize=1024,
+                                       constructionExpand=expand))
+                float(jnp.sum(idx.method.graph["level0"]))
+                build_s = time.perf_counter() - t0
+                idx.set_query_time_params(Params(efSearch=20))
+                d, i = idx.knn_query_batch(q, K)
+                t0 = time.perf_counter()
+                d, i = idx.knn_query_batch(q, K)
+                dt = time.perf_counter() - t0
+                rec = float(np.mean([
+                    len(set(a[a >= 0]) & set(b)) / K
+                    for a, b in zip(i, gold)
+                ]))
+                emit(stage="expand1m", tag=tag, expand=expand,
+                     build_s=round(build_s, 1), qps_ef20=round(NQ / dt, 1),
+                     recall_at_10=round(rec, 4))
+                del idx
+        except Exception:
+            emit(stage="expand1m", event="crash",
+                 err=traceback.format_exc()[-900:])
+            raise SystemExit(2)
+        return
 
     pts = sift_like(N + NQ, 128, seed=0)
     corpus, q = pts[:N], pts[N : N + NQ]
