@@ -132,6 +132,10 @@ def main():
             jax.config.update("jax_platforms", plat.split(",")[0])
         except Exception:
             pass
+    from tpu_knn.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()  # persistent executable cache (probed
+    # working over the remote-compile relay; TPU_KNN_JIT_CACHE=0 disables)
     quick = "--quick" in sys.argv
     n = 100_000 if quick else 1_000_000
     cpu_qps = bench_cpu_baseline()

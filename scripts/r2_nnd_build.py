@@ -90,6 +90,17 @@ def main():
                 corpus, q, gold, "nnd300k", (10, 14, 20, 50),
                 dict(M=16, efConstruction=100, buildAlgo="nndescent"),
             )
+        elif stage == "300kprof":
+            # phase attribution (nndProfile syncs serialize dispatch, so
+            # these walls are upper bounds — use the plain 300k stage for
+            # headline numbers)
+            corpus = pts[:300_000]
+            gold = gold_ids(corpus, q, "/tmp/gold_sift300k_l2.npz")
+            build_and_sweep(
+                corpus, q, gold, "nnd300k_prof", (20,),
+                dict(M=16, efConstruction=100, buildAlgo="nndescent",
+                     nndProfile=1),
+            )
         elif stage == "tune":
             corpus = pts[:300_000]
             gold = gold_ids(corpus, q, "/tmp/gold_sift300k_l2.npz")

@@ -141,3 +141,58 @@ def test_sift_u8_build():
     idx.set_query_time_params(Params(efSearch=50))
     _, ids = idx.knn_query_batch(q, K)
     assert _recall(ids, np.asarray(g)) >= 0.9
+
+
+def test_wide_row_mode_matches_store(data):
+    # rows >= 512 B skip the replicated neighborhood store (the store's
+    # n*kb*D residency RESOURCE_EXHAUSTED sparse-sketch NND builds) and
+    # gather candidate rows directly; results must be bit-identical
+    import inspect
+
+    import jax.numpy as jnp
+
+    import tpu_knn.ops.nndescent as ND
+    from tpu_knn.core.dataset import DataKind, DataStore
+    from tpu_knn.core.registry import create_space
+
+    rng = np.random.default_rng(0)
+    n, d = 600, 512  # d * int8 = 512 B -> wide-row path
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    sp = create_space("l2")
+    store = DataStore(DataKind.DENSE)
+    store.add_dense_batch(x)
+    corpus = sp.corpus_dict(sp.encode_dataset(store))
+    kw = dict(k=8, iters=3, krev=8, t_keep=8, chunk=128, seed=3)
+    d1, a1 = ND.build_knn_graph(sp, corpus, n, **kw)
+    # force the store path by raising the wide threshold out of reach
+    src = inspect.getsource(ND.build_knn_graph).replace(">= 512", ">= 10**9")
+    ns = dict(ND.__dict__)
+    exec(compile(src, "forced_store_mode", "exec"), ns)
+    d2, a2 = ns["build_knn_graph"](sp, corpus, n, **kw)
+    assert bool(jnp.all(a1 == a2))
+    fin = ~(jnp.isinf(d1) & jnp.isinf(d2))
+    assert bool(jnp.all(jnp.where(fin, d1 - d2, 0.0) == 0))
+
+
+def test_reach_from_host_bfs():
+    # host frontier BFS (the device scatter-max formulation faulted the
+    # TPU worker at 1M x 48): directed reachability, pad rows excluded
+    from tpu_knn.ops.nndescent import _reach_from_host
+
+    adj = np.array(
+        [
+            [1, -1, -1],   # 0 -> 1
+            [2, 0, -1],    # 1 -> 2, 0
+            [-1, -1, -1],  # 2 (sink)
+            [4, -1, -1],   # 3 -> 4 (unreachable from 0)
+            [3, -1, -1],   # 4 -> 3
+            [-1, -1, -1],  # pad row
+        ],
+        np.int32,
+    )
+    r = _reach_from_host(adj, 0)
+    assert r.tolist() == [True, True, True, False, False, False]
+    r3 = _reach_from_host(adj, 3)
+    assert r3.tolist() == [False, False, False, True, True, False]
+    assert not _reach_from_host(adj, -1).any()
+    assert not _reach_from_host(adj, 99).any()

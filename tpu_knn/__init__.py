@@ -40,3 +40,14 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+# opt-in persistent XLA executable cache: only when the env var names a
+# directory (config-only — touches no backend; see utils/jitcache.py)
+import os as _os
+
+if _os.environ.get("TPU_KNN_JIT_CACHE", "").strip() not in ("", "0", "off", "none"):
+    from .utils.jitcache import enable_persistent_cache as _epc
+
+    _epc()
+    del _epc
+del _os

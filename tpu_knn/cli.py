@@ -123,6 +123,9 @@ def _pin_platform(requested: str) -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _pin_platform(args.platform)
+    from .utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()  # TPU_KNN_JIT_CACHE=0 disables
     if args.logFile:
         LOGGER.set_file(args.logFile)
     out = open(args.outFile, "w") if args.outFile else sys.stdout

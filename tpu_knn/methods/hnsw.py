@@ -31,6 +31,7 @@ Range search raises, as in the reference (hnsw.cc:710-715).
 from __future__ import annotations
 
 import math
+import time
 from functools import partial
 
 import jax
@@ -532,6 +533,10 @@ class Hnsw(Method):
         if self.nnd_rev not in ("shrink", "slots"):
             raise ValueError(f"bad nndRevMode {self.nnd_rev!r}")
         self.nnd_polish = pm.get("nndPolish", 1, int)
+        # opt-in build-phase wall attribution: sync + log after each
+        # phase (init/descent/final exact, link, uppers, polish). The
+        # syncs serialize dispatch, so profiled walls are upper bounds.
+        self.nnd_profile = pm.get("nndProfile", 0, int)
         # DiskANN-style neighborhood replication: store each node's
         # neighbors' vectors contiguously so one beam expansion is one
         # sequential HBM granule instead of maxM0 row gathers. Costs
@@ -674,16 +679,28 @@ class Hnsw(Method):
         if not self.KEEP_WAVE_STATE:
             self._qenc_all = None
         selection = "none" if self.delaunay_type == 0 else "heur"
+        prof = bool(self.nnd_profile)
+        _pt = [time.perf_counter()]
+
+        def mark(name, arr):
+            """Sync the phase output and log its wall (profile only)."""
+            import jax.numpy as jnp
+
+            float(jnp.sum(jnp.asarray(arr, jnp.float32)[:1, :1]))
+            now = time.perf_counter()
+            log("INFO", f"hnsw nnd phase {name}: {now - _pt[0]:.1f}s")
+            _pt[0] = now
+
         prog = (
             (lambda it, ch: log("INFO", f"hnsw nnd sweep {it + 1}: {ch} updates"))
-            if getattr(self, "progress", False) else None
+            if (getattr(self, "progress", False) or prof) else None
         )
         dist, adj = ND.build_knn_graph(
             sp, corpus, n,
             k=self.nnd_k, iters=self.nnd_iters, krev=self.nnd_krev,
             t_keep=self.nnd_t, chunk=self.nnd_chunk, seed=self.seed,
             store_dtype=self.nnd_store, n_random=self.nnd_random,
-            progress=prog,
+            progress=prog, mark=mark if prof else None,
         )
         n_pad = self.data.ids.shape[0]
 
@@ -706,6 +723,8 @@ class Hnsw(Method):
             return lv0
 
         level0 = link()
+        if prof:
+            mark("link0", level0)
         new_upper = []
         for l in range(1, self._max_level + 1):
             n_l = self._upper[l - 1].shape[0]
@@ -720,17 +739,23 @@ class Hnsw(Method):
                 )
             )
         self._upper = new_upper
+        if prof and new_upper:
+            mark("uppers", new_upper[0])
         # beam-polish passes: batched re-insertion of every node through
         # the built graph — the beam's path candidates restore the
         # mid-range (distance-halving) edges the k-NN + uniform-random
         # candidate pool lacks (ops/nndescent._polish_sweep rationale)
-        for _ in range(self.nnd_polish):
+        for p in range(self.nnd_polish):
             dist, adj = ND.polish_knn_lists(
                 sp, corpus, level0, self._upper, dist, adj, n,
                 efc=self.ef_construction, expand=self.construction_expand,
                 entry=self._entry, chunk=min(2048, self.nnd_chunk * 2),
             )
+            if prof:
+                mark(f"polish{p}", dist)
             level0 = link()
+            if prof:
+                mark(f"link{p + 1}", level0)
         self.graph = {"level0": level0}
         del dist, adj, level0
         return True

@@ -163,14 +163,21 @@ def _merge_dedup_sorted(all_d, all_i, k: int):
 
 
 def _descent_body(
-    space, adj, dist, b, store, qvecs, base, *,
+    space, adj, dist, b, store, xq, qvecs, base, *,
     t_keep: int, count: int, chunk: int, xscale: float,
 ):
     """One refinement step for nodes [base, base+chunk): score candidate
     set B[B[i]] from neighborhood granules, keep each parent's best
     t_keep, merge into the current k-NN list. Returns the updated
     (dist_c, adj_c, changed_count) for the chunk only (Jacobi update —
-    every chunk of an iteration reads the same frozen B/store)."""
+    every chunk of an iteration reads the same frozen B/store).
+
+    ``store is None`` = wide-row mode: candidate rows gather straight
+    from ``xq`` per (node, parent, slot). The replicated store exists to
+    turn kb^2 sub-granule row gathers into kb sequential kb*D granules —
+    at row width >= 512 B each ROW is already a granule, and the
+    resident store (n*kb*D, 6.6 GB for 100k x 64 x 1024 sketches) is
+    what RESOURCE_EXHAUSTED the sparse NND build (batch37 2026-08-19)."""
     k = adj.shape[1]
     kb = b.shape[1]
     adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
@@ -185,7 +192,10 @@ def _descent_body(
     safe_p = jnp.clip(b_c, 0, b.shape[0] - 1)
     cand = b[safe_p]  # [C, kb, kb]
     cand = jnp.where(b_c[:, :, None] < 0, NEG1, cand)
-    rows = store[safe_p]  # [C, kb, kb, D]
+    if store is None:
+        rows = xq[jnp.clip(cand, 0, xq.shape[0] - 1)]  # [C, kb, kb, D]
+    else:
+        rows = store[safe_p]  # [C, kb, kb, D]
     d3 = _score_from_rows(space, qe, rows, xscale)  # [C, kb, kb]
     bad = (cand < 0) | (cand >= count) | (cand == node[:, None, None])
     d3 = jnp.where(bad, INF, d3)
@@ -204,7 +214,7 @@ def _descent_body(
 
 @partial(jax.jit, static_argnames=("space", "t_keep", "count", "chunk",
                                    "xscale", "nc"))
-def _descent_sweep(space, adj, dist, b, store, qvecs, *, t_keep: int,
+def _descent_sweep(space, adj, dist, b, store, xq, qvecs, *, t_keep: int,
                    count: int, chunk: int, xscale: float, nc: int):
     """One full refinement sweep as ONE dispatch: fori_loop over the nc
     node chunks, writing each chunk's merged lists into fresh carries
@@ -216,7 +226,7 @@ def _descent_sweep(space, adj, dist, b, store, qvecs, *, t_keep: int,
     def body(ci, state):
         adj_new, dist_new, changed = state
         nd, ni, ch = _descent_body(
-            space, adj, dist, b, store, qvecs, ci * chunk,
+            space, adj, dist, b, store, xq, qvecs, ci * chunk,
             t_keep=t_keep, count=count, chunk=chunk, xscale=xscale,
         )
         adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, ci * chunk, 0)
@@ -465,6 +475,7 @@ def build_knn_graph(
     min_update_frac: float = 1e-3,
     n_random: int = 6,
     progress=None,
+    mark=None,
 ):
     """Exact-rescored approximate k-NN graph. Returns (dist f32[S, k],
     adj i32[S, k]) on device, rows ascending by exact distance; S is n
@@ -493,6 +504,15 @@ def build_knn_graph(
     adj = jnp.asarray(init.astype(np.int32))
     # exact-score the random init
     dist, adj = _exact_sweep(space, corpus, adj, count=n, chunk=c_eff, nc=nc)
+    if mark:  # opt-in phase profiling (syncs — wall attribution only)
+        mark("init_exact", dist)
+
+    # wide-row mode: when one quantized row is already a >= 512 B HBM
+    # granule (wide sketches / high-d corpora), the replicated store buys
+    # nothing — each candidate ROW gather is sequential — and its n*kb*D
+    # residency (6.6 GB at 100k x 96 x 1024 sparse sketches) is what
+    # RESOURCE_EXHAUSTED the sparse NND build (batch37 2026-08-19).
+    wide_rows = vecs.shape[1] * xq.dtype.itemsize >= 512
 
     store = None
     for it in range(iters):
@@ -504,9 +524,10 @@ def build_knn_graph(
         # prior sweep has fully consumed it by the time we get here.
         store = None
         b = _make_b(adj, krev, n)
-        store = _gather_store(xq, b)
+        if not wide_rows:
+            store = _gather_store(xq, b)
         adj, dist, ch = _descent_sweep(
-            space, adj, dist, b, store, vecs,
+            space, adj, dist, b, store, xq, vecs,
             t_keep=t_keep, count=n, chunk=c_eff, xscale=xscale, nc=nc,
         )
         changed = int(ch)  # the one host sync per sweep
@@ -514,6 +535,8 @@ def build_knn_graph(
             progress(it, changed)
         if changed <= min_update_frac * n * k:
             break
+    if mark:
+        mark("descent_sweeps", dist)
 
     # free the neighborhood store (8.2 GB at 1M) before the final exact
     # pass — it is descent-only state
@@ -526,6 +549,8 @@ def build_knn_graph(
     rand = jnp.asarray(rnd)
     dist, adj = _exact_aug_sweep(space, corpus, adj, rand, count=n,
                                  chunk=c_eff, nc=nc)
+    if mark:
+        mark("final_exact", dist)
     return dist, adj
 
 
@@ -661,27 +686,29 @@ def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
 # ---------------- reachability repair ----------------
 
 
-@jax.jit
-def _reach_from(adj, entry):
-    """Directed-reachability mask from ``entry`` over adjacency rows:
-    scatter-or message passing to a fixpoint (diameter-bounded; the
-    while_loop exits as soon as an iteration adds nothing)."""
-    s_rows, cap = adj.shape
-    tgt = jnp.where(adj >= 0, adj, s_rows).reshape(-1)
-
-    def cond(state):
-        r, changed, it = state
-        return changed & (it < jnp.int32(s_rows))
-
-    def body(state):
-        r, _, it = state
-        msg = jnp.broadcast_to(r[:s_rows, None], (s_rows, cap)).reshape(-1)
-        r2 = r.at[tgt].max(msg)
-        return r2, jnp.any(r2 != r), it + 1
-
-    r0 = jnp.zeros(s_rows + 1, jnp.int32).at[jnp.int32(entry)].set(1)
-    r, _, _ = jax.lax.while_loop(cond, body, (r0, jnp.bool_(True), jnp.int32(0)))
-    return r[:s_rows] > 0
+def _reach_from_host(adj_np: np.ndarray, entry: int) -> np.ndarray:
+    """Directed-reachability mask from ``entry``: frontier BFS on host
+    (each edge touched once). The earlier device formulation — a
+    while_loop whose body scatter-maxed all S*cap messages — FAULTED THE
+    TPU WORKER at 1M x 48 (48M-element scatter per iteration; fine at
+    300k, crash at 1M/1.2M, batch37 2026-08-19). repair_reachability
+    downloads the adjacency for its host link-writes anyway, so BFS on
+    that same array costs one 192 MB transfer per round at 1M — noise
+    next to the build."""
+    reach = np.zeros(adj_np.shape[0], bool)
+    entry = int(entry)
+    if not (0 <= entry < adj_np.shape[0]):
+        return reach
+    reach[entry] = True
+    frontier = np.array([entry], np.int64)
+    while frontier.size:
+        tgt = adj_np[frontier].reshape(-1)
+        tgt = tgt[(tgt >= 0) & (tgt < adj_np.shape[0])]
+        tgt = np.unique(tgt)
+        new = tgt[~reach[tgt]]
+        reach[new] = True
+        frontier = new
+    return reach
 
 
 @partial(jax.jit, static_argnames=("space", "count", "csize"))
@@ -722,7 +749,8 @@ def repair_reachability(space, corpus, adj, n, *, entry: int = 0,
     s_rows, cap = adj.shape
     repaired = 0
     for _ in range(max_rounds):
-        reach = np.asarray(_reach_from(adj, entry))
+        host = np.array(adj)  # one writable download per round (BFS + links)
+        reach = _reach_from_host(host, entry)
         un = np.where(~reach[:n])[0]
         if un.size == 0:
             break
@@ -753,7 +781,6 @@ def repair_reachability(space, corpus, adj, n, *, entry: int = 0,
         # round against the freshly-reached set)
         _, first = np.unique(tgt, return_index=True)
         un, tgt = un[np.sort(first)], tgt[np.sort(first)]
-        host = np.array(adj)  # writable copy (np.asarray of a jax array is read-only)
         for u, t in zip(un, tgt):
             arow = host[t]  # anchor -> node: makes it reachable
             free = np.where(arow < 0)[0]

@@ -1,0 +1,58 @@
+"""Persistent XLA compilation cache.
+
+JAX's ``jax_compilation_cache_dir`` caches SERIALIZED EXECUTABLES keyed
+on (HLO, compile flags, platform) at the PJRT layer, so a program
+compiled by one process is a disk read for every later process. Probed
+working over the axon remote-compile relay on 2026-08-19
+(scripts/r2_jitcache.py: child compile 1.37 s vs parent 3.01 s) — this
+turns the measured ~490 s/process re-compile tax of a cold 1M build
+(300k NND: 669.6 s cold vs 176.9 s same-process rebuild) into a warm
+wall for free.
+
+The reference ships a compiled binary, so its builds never pay a
+compile tax; a persistent executable cache is the TPU-native analog of
+"the binary is already compiled". Enabled by bench.py and the CLI;
+library users opt in via :func:`enable_persistent_cache` or the
+``TPU_KNN_JIT_CACHE`` env var (a directory path; ``0``/empty disables).
+
+Reference parity note: nmslib has no compilation stage at all
+(ahead-of-time C++); this module exists purely for the XLA compilation
+model and has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "tpu_knn", "jaxcache"
+)
+
+_enabled: str | None = None
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``~/.cache/tpu_knn/jaxcache``, overridable via ``TPU_KNN_JIT_CACHE``;
+    set that to ``0`` or empty to disable). Safe to call before or after
+    backend initialization; returns the directory in use (or None when
+    disabled). Idempotent."""
+    global _enabled
+    env = os.environ.get("TPU_KNN_JIT_CACHE")
+    if path is None:
+        if env is not None and env.strip() in ("", "0", "off", "none"):
+            return None
+        path = env or _DEFAULT_DIR
+    if _enabled == path:
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # default min-compile-time gate is 1 s; over the remote relay even
+    # small programs cost seconds, and entry sizes are small — cache all
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = path
+    return path
