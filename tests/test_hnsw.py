@@ -311,3 +311,42 @@ def test_query_param_reset_restores_expand(rng):
     assert m.expand == 64
     idx.set_query_time_params(None)
     assert m.expand == default and m.ef_search == m.DEFAULT_EF_SEARCH
+
+
+def test_construction_store_recall_and_gating(corpus):
+    # constructionStore=1: the level-0 construction beam rides an int8
+    # replicated-neighbor store maintained across waves (incl. post
+    # passes); quantization may only perturb beam EXPLORATION (selection
+    # re-scores exactly), so recall must match the plain build closely
+    from tpu_knn.methods import hnsw as H
+
+    x, q = corpus
+    exact = Index("l2", Params(dim=24), method="seq_search")
+    exact.add_dense_batch(x)
+
+    recalls = {}
+    for cs in (0, 1):
+        idx = Index("l2", Params(dim=24), method="hnsw")
+        idx.add_dense_batch(x)
+        idx.build_index(Params(M=8, efConstruction=60, waveSize=128,
+                               seed=0, post=1, constructionStore=cs))
+        idx.set_query_time_params(Params(efSearch=100))
+        recalls[cs] = _recall(idx, exact, q, 10)
+        # graph invariants hold either way
+        lv0 = np.asarray(idx.method.graph["level0"])
+        n = len(x)
+        assert not (lv0[:n] == np.arange(n)[:, None]).any()  # no self links
+    assert recalls[1] >= recalls[0] - 0.02
+
+    # sparse (non-dense-row) encodings: the param is ignored with a
+    # warning, not an error
+    docs = [([1, 4], [1.0, 2.0]), ([2, 3], [1.0, 0.5]),
+            ([1, 3], [0.5, 1.0]), ([2, 4], [2.0, 1.0])] * 16
+    from tpu_knn import DataKind
+
+    sp = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    sp.add_sparse_batch(docs)
+    sp.build_index(Params(M=4, efConstruction=10, waveSize=16,
+                          constructionStore=1))
+    d, i = sp.knn_query_batch(docs[:4], 1)
+    assert (np.asarray(i)[:, 0] >= 0).all()

@@ -170,6 +170,7 @@ def make_wave_step(
     exact_space=None,
     exact_pairs: bool = False,
     exact_base: bool = True,
+    use_cstore: bool = False,
 ):
     """Build the (unjitted) batched insertion wave step.
 
@@ -180,12 +181,24 @@ def make_wave_step(
     closure constants — a closed-over corpus would be baked into the
     compiled program (512MB of constants at 1M rows, which also
     overflows remote-compile request limits).
-    """
+
+    ``use_cstore``: maintain an int8 replicated-neighbor store aligned to
+    the LEVEL-0 adjacency across waves and ride the level-0 construction
+    beam on it (the query-time nbr_store trick applied at build time).
+    Rationale: gathers are granule-count-bound (~45M/s on v5e), and the
+    beam's candidate row gathers (w*expand*m0cap rows per iteration) are
+    its dominant cost; the store turns them into w*expand granule reads.
+    Maintenance is cheap — each wave rewrites only the rows its level-0
+    scatters touched (wave rows + reverse targets, ~w*(M+1) granules).
+    Selection stays exact: the beam's ef candidates are re-scored from
+    f32 corpus rows before the heuristic, so quantization only perturbs
+    which candidates the beam EXPLORES (same regime as the query-time
+    int8 store, safe at ef >= 14; construction runs ef ~ 100)."""
     oob = jnp.int32(2**30)
 
     def wave_step(
         level0, upper, start, wl, entry, limit, corpus, qenc_all,
-        ecorpus=None, eqenc_all=None,
+        ecorpus=None, eqenc_all=None, cstore=None, xq=None, xscale=None,
     ):
         """Insert/refresh points [start, start+w). ``limit`` bounds
         which graph nodes may be linked to: ``start`` during the
@@ -198,8 +211,10 @@ def make_wave_step(
             seen (for entry hand-off to the next level)."""
             qe = _gather_qenc(qenc_all, wave_ids, n_total)
             qe = G.densify_queries(space, qe, corpus)
+            nbr_store = (cstore, xscale) if (use_cstore and l == 0) else None
             beam_d, beam_i, _ = G.beam_search(
-                space, qe, corpus, adj, None, cur, ef=efc, expand=expand
+                space, qe, corpus, adj, None, cur, ef=efc, expand=expand,
+                nbr_store=nbr_store,
             )
             frozen_ok = (beam_i < limit) & (beam_i >= 0) & (beam_i != wave_ids[:, None])
             beam_i = jnp.where(frozen_ok, beam_i, NEG1)
@@ -243,6 +258,13 @@ def make_wave_step(
                 eqe = _gather_qenc(eqenc_all, wave_ids, n_total)
                 eqe = G.densify_queries(exact_space, eqe, ecorpus)
                 cand_d = G.score_rows(exact_space, eqe, ecorpus, cand_i)
+                cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
+            elif use_cstore and l == 0:
+                # the beam ranked candidates by dequantized-int8 store
+                # scores; re-score them from the f32 corpus rows so the
+                # selection heuristic (and the stored edge distances the
+                # reverse shrink competes on) stay exact
+                cand_d = G.score_rows(space, qe, corpus, cand_i)
                 cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1)
             if selection == "none":
                 # delaunay_type=0 (reference hnsw.cc:581-586): keep the M
@@ -372,6 +394,21 @@ def make_wave_step(
         sel, _, _ = level_candidates(level0, limit, wave_ids, wl, 0, cur)
         level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
         level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
+        if use_cstore:
+            # refresh the store rows this wave's level-0 scatters touched:
+            # the wave rows themselves (scatter_forward) and every
+            # forward-selected target (reverse_update rewrites exactly the
+            # rows grouped from sel). Duplicate ids in `ch` all write the
+            # value derived from the same post-update level0 row, so the
+            # unordered scatter is deterministic. ~w*(M+1) granules/wave.
+            ch = jnp.concatenate([
+                jnp.where(connect0, wave_ids, oob),
+                jnp.where(sel >= 0, sel, oob).reshape(-1),
+            ])
+            rows_ids = level0[jnp.clip(ch, 0, level0.shape[0] - 1)]
+            vr = xq[jnp.clip(rows_ids, 0, xq.shape[0] - 1)]
+            cstore = cstore.at[ch].set(vr, mode="drop")
+            return level0, new_upper, cstore
         return level0, new_upper
 
     return wave_step
@@ -568,6 +605,11 @@ class Hnsw(Method):
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
+        # construction-time replicated neighbor store (int8, level 0):
+        # ride the wave build's level-0 beam on granule gathers — see
+        # make_wave_step(use_cstore=...). Opt-in while unmeasured; gated
+        # by _cstore_ok() (dense f32/bf16 rows, no sketch proxy).
+        self.construction_store = pm.get("constructionStore", 0, int)
         self.seed = pm.get("seed", 0, int)
         pm.check_unused()
         self._nbr_store = None
@@ -868,7 +910,8 @@ class Hnsw(Method):
             return
         w = int(min(self.wave, n))
         num_waves = (n + w - 1) // w
-        step = self._make_wave_step(w, self._max_level)
+        use_cstore = bool(self.construction_store) and self._cstore_ok()
+        step = self._make_wave_step(w, self._max_level, use_cstore)
         total = lo + num_waves * w
         wl_all = np.full(total, -1, np.int32)
         wl_all[: len(self.levels)] = self.levels
@@ -879,6 +922,16 @@ class Hnsw(Method):
             ecorpus = _corpus_dict(self.space, self.data)
             eqenc = self._exact_qenc_all
         level0, upper = self.graph["level0"], self._upper
+        cstore = xqc = xsc = None
+        if use_cstore:
+            # quantize the corpus FIRST so the [S, m0cap, d] replication
+            # gather lands in int8 (the f32-first ordering materializes
+            # 16 GB at 1M — same lesson as _get_nbr_store)
+            vecs = corpus["vecs"]
+            s = float(jnp.max(jnp.abs(vecs))) / 127.0
+            xsc = jnp.float32(s if s > 0 else 1.0)
+            xqc = jnp.clip(jnp.round(vecs / xsc), -127, 127).astype(jnp.int8)
+            cstore = xqc[jnp.clip(level0, 0, xqc.shape[0] - 1)]
         # ProgressDisplay analog (reference: hnsw.cc:236): one INFO line
         # per ~10% of waves when build_index(print_progress=True)
         every = max(1, num_waves // 10) if getattr(self, "progress", False) else 0
@@ -905,7 +958,7 @@ class Hnsw(Method):
                 float(jnp.sum(level0[0]))
                 log("INFO", f"hnsw build: wave {wi + 1}/{num_waves}")
             start = lo + wi * w
-            level0, upper = step(
+            out = step(
                 level0,
                 upper,
                 jnp.int32(start),
@@ -916,7 +969,14 @@ class Hnsw(Method):
                 qenc_all,
                 ecorpus,
                 eqenc,
+                cstore,
+                xqc,
+                xsc,
             )
+            if use_cstore:
+                level0, upper, cstore = out
+            else:
+                level0, upper = out
             if prof and wi == min(prof[1], num_waves - 1):
                 float(jnp.sum(level0[0]))  # window complete on device
                 jax.profiler.stop_trace()
@@ -938,7 +998,7 @@ class Hnsw(Method):
         for _ in range(self.post if hi >= n_total else 0):
             for wi in range(num_waves - 1, -1, -1):
                 start = lo + wi * w
-                level0, upper = step(
+                out = step(
                     level0,
                     upper,
                     jnp.int32(start),
@@ -949,7 +1009,18 @@ class Hnsw(Method):
                     qenc_all,
                     ecorpus,
                     eqenc,
+                    cstore,
+                    xqc,
+                    xsc,
                 )
+                if use_cstore:
+                    level0, upper, cstore = out
+                else:
+                    level0, upper = out
+        # the construction store is build-only state: drop it before the
+        # final sync so its 4.3 GB (1M x 32 x 128) never coexists with
+        # query-time allocations
+        cstore = xqc = None
         self.graph = {"level0": level0}
         self._upper = upper
 
@@ -966,7 +1037,7 @@ class Hnsw(Method):
 
     # ----- the batched insertion wave -----
 
-    def _make_wave_step(self, w: int, max_level: int):
+    def _make_wave_step(self, w: int, max_level: int, use_cstore: bool = False):
         return jax.jit(
             make_wave_step(
                 self._graph_space,
@@ -983,8 +1054,33 @@ class Hnsw(Method):
                 exact_space=self.space if self._exact_qenc_all is not None else None,
                 exact_pairs=bool(self.exact_pairs),
                 exact_base=bool(self.exact_base),
-            )
+                use_cstore=use_cstore,
+            ),
+            # alias the store through the step: without donation every
+            # wave holds old+new copies (2 x 4.3 GB at 1M x 32 x 128)
+            donate_argnums=(10,) if use_cstore else (),
         )
+
+    def _cstore_ok(self) -> bool:
+        """constructionStore needs the same shape of corpus the query-time
+        nbr store does — dense f32/bf16 rows whose per-row term is
+        recomputable — on the GRAPH space (sketch-proxy builds excluded:
+        their beam already scores proxy rows and refines exactly)."""
+        if self._exact_qenc_all is not None:
+            return False
+        corpus = _corpus_dict(self._graph_space, self._graph_data)
+        vecs = corpus.get("vecs")
+        ok = (
+            "term" not in corpus
+            and "row_mask" not in corpus
+            and hasattr(vecs, "dtype")
+            and vecs.dtype in (jnp.float32, jnp.bfloat16)
+            and getattr(vecs, "ndim", 0) == 2
+        )
+        if not ok and self.construction_store:
+            log("WARN", "hnsw: constructionStore ignored (space/encoding "
+                        "not dense-row eligible)")
+        return ok
 
 
     # ---------------- search ----------------
