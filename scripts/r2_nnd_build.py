@@ -110,6 +110,32 @@ def main():
                     dict(M=16, efConstruction=100, buildAlgo="nndescent",
                          nndK=nk, nndIters=it),
                 )
+        elif stage == "1mprof":
+            # fault localization: nndProfile syncs after every phase AND
+            # every prune_and_link sub-phase (pl_prune/pl_rev/pl_shrink) —
+            # the batch39 1M crash surfaced at repair_reachability's adj
+            # download, i.e. somewhere in [final_exact .. shrink] async
+            corpus = pts[:1_000_000]
+            gold = gold_ids(corpus, q, "/tmp/gold_sift1m_l2.npz")
+            emit(stage=stage, event="gold_ok")
+            build_and_sweep(
+                corpus, q, gold, "nnd1m_prof", (14, 20),
+                dict(M=16, efConstruction=100, buildAlgo="nndescent",
+                     nndProfile=1, replicateNeighbors=1,
+                     nbrStoreDtype="int8"),
+            )
+        elif stage == "1mslots":
+            # bypass arm: rev_mode=slots skips _rev_nearest+_shrink_sweep
+            # (uses the proven-at-1M _make_b machinery)
+            corpus = pts[:1_000_000]
+            gold = gold_ids(corpus, q, "/tmp/gold_sift1m_l2.npz")
+            emit(stage=stage, event="gold_ok")
+            build_and_sweep(
+                corpus, q, gold, "nnd1m_slots", (14, 20, 50),
+                dict(M=16, efConstruction=100, buildAlgo="nndescent",
+                     nndRevMode="slots", replicateNeighbors=1,
+                     nbrStoreDtype="int8"),
+            )
         else:
             corpus = pts[:1_000_000]
             gold = gold_ids(corpus, q, "/tmp/gold_sift1m_l2.npz")

@@ -108,6 +108,25 @@ def test_f32_store_mode(data, gold):
     assert _recall(ids, gold) >= 0.9
 
 
+def test_polish_store(data, gold):
+    # nndPolishStore=1: the polish beam explores on int8 neighbor
+    # granules with exact re-score before the merge — recall must match
+    # the exact-polish build within beam-exploration noise, and the
+    # merged distances must be exact (the selection heuristic consumes
+    # them)
+    corpus, q = data
+    idx = _build(corpus, nndPolishStore=1)
+    chk = idx.method.check_graph()
+    assert chk == {"self_links": 0, "dup_links": 0, "oob_links": 0}
+    idx.set_query_time_params(Params(efSearch=50))
+    _, ids = idx.knn_query_batch(q, K)
+    assert _recall(ids, gold) >= 0.9
+    # self-findability survives the quantized exploration
+    idx.set_query_time_params(Params(efSearch=20))
+    _, sids = idx.knn_query_batch(corpus[:256], 1)
+    assert np.mean(np.asarray(sids)[:, 0] == np.arange(256)) >= 0.99
+
+
 def test_fallback_to_waves(data):
     # l1 has no affine pass-1 factorization: nndescent must fall back to
     # the wave build and still produce a working index

@@ -570,6 +570,10 @@ class Hnsw(Method):
         if self.nnd_rev not in ("shrink", "slots"):
             raise ValueError(f"bad nndRevMode {self.nnd_rev!r}")
         self.nnd_polish = pm.get("nndPolish", 1, int)
+        # polish-beam int8 neighbor store (exact re-score before merge);
+        # opt-in until the chip A/B lands — polish is ~35 s of the 165 s
+        # 300k NND build and the beam is granule-count-bound
+        self.nnd_polish_store = pm.get("nndPolishStore", 0, int)
         # opt-in build-phase wall attribution: sync + log after each
         # phase (init/descent/final exact, link, uppers, polish). The
         # syncs serialize dispatch, so profiled walls are upper bounds.
@@ -752,7 +756,7 @@ class Hnsw(Method):
                 sp, corpus, dist, adj, n,
                 m=self.M, cap=self.maxM0, chunk=self.nnd_chunk,
                 selection=selection, fill=bool(self.nnd_fill),
-                rev_mode=self.nnd_rev,
+                rev_mode=self.nnd_rev, mark=mark if prof else None,
             )[:n_pad]
             # a refinement-built graph has no insertion-time reachability
             # guarantee: link stranded components back to the entry's
@@ -787,11 +791,13 @@ class Hnsw(Method):
         # the built graph — the beam's path candidates restore the
         # mid-range (distance-halving) edges the k-NN + uniform-random
         # candidate pool lacks (ops/nndescent._polish_sweep rationale)
+        polish_store = bool(self.nnd_polish_store) and self._cstore_ok()
         for p in range(self.nnd_polish):
             dist, adj = ND.polish_knn_lists(
                 sp, corpus, level0, self._upper, dist, adj, n,
                 efc=self.ef_construction, expand=self.construction_expand,
                 entry=self._entry, chunk=min(2048, self.nnd_chunk * 2),
+                use_store=polish_store,
             )
             if prof:
                 mark(f"polish{p}", dist)

@@ -123,10 +123,11 @@ def _make_b(adj, krev: int, count: int):
     order = jnp.argsort(skey)
     sn, sp, sv = skey[order], src[order], valid[order]
     first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
-    gid = jnp.clip(jnp.cumsum(first) - 1, 0, npairs - 1)
     iar = jnp.arange(npairs, dtype=jnp.int32)
-    gstart = jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
-    pos = iar - gstart[gid]
+    # start-of-run via inclusive prefix max (group starts ascend, so the
+    # cummax at i IS the start of i's run) — the scatter-max formulation
+    # it replaces is the op class that faulted the worker at 48M elements
+    pos = iar - jax.lax.cummax(jnp.where(first, iar, 0))
     ok = sv & (pos < krev)
     rev = jnp.full((s_rows, krev), NEG1)
     rev = rev.at[
@@ -386,10 +387,8 @@ def _rev_nearest(sel, seld, krev: int, count: int):
     npairs = tgt.shape[0]
     sv = sn < IDBIG
     first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
-    gid = jnp.clip(jnp.cumsum(first) - 1, 0, npairs - 1)
     iar = jnp.arange(npairs, dtype=jnp.int32)
-    gstart = jnp.zeros(npairs, jnp.int32).at[gid].max(jnp.where(first, iar, 0))
-    pos = iar - gstart[gid]
+    pos = iar - jax.lax.cummax(jnp.where(first, iar, 0))  # see _make_b
     ok = sv & (pos < krev)
     row = jnp.where(ok, sn, s_rows)
     col = jnp.clip(pos, 0, krev - 1)
@@ -567,6 +566,7 @@ def prune_and_link(
     selection: str = "heur",
     fill: bool = True,
     rev_mode: str = "shrink",
+    mark=None,
 ):
     """k-NN lists -> navigable adjacency: heuristic forward selection to
     m edges (pruned-fill per ``fill``), then reverse linking to ``cap``.
@@ -586,13 +586,20 @@ def prune_and_link(
         space, corpus, adj, dist, m=m, chunk=c_eff, nc=nc,
         exact_rule=exact_rule, fill=fill, heur=heur,
     )
+    if mark:  # sub-phase sync points (profile-only fault localization)
+        mark("pl_prune", sel)
     if rev_mode == "slots":
         return _reverse_fill(sel, cap, n)
     rev, revd = _rev_nearest(sel, seld, cap, n)
-    return _shrink_sweep(
+    if mark:
+        mark("pl_rev", rev)
+    out = _shrink_sweep(
         space, corpus, sel, seld, rev, revd, cap=cap, chunk=c_eff, nc=nc,
         exact_rule=exact_rule, fill=fill, heur=heur,
     )
+    if mark:
+        mark("pl_shrink", out)
+    return out
 
 
 # ---------------- beam polish ----------------
@@ -600,8 +607,9 @@ def prune_and_link(
 
 @partial(jax.jit, static_argnames=("space", "efc", "expand", "entry",
                                    "count", "chunk", "nc"))
-def _polish_sweep(space, corpus, level0, uppers, dist, adj, *, efc: int,
-                  expand: int, entry: int, count: int, chunk: int, nc: int):
+def _polish_sweep(space, corpus, level0, uppers, dist, adj, store, *,
+                  efc: int, expand: int, entry: int, count: int, chunk: int,
+                  nc: int):
     """Batched re-insertion: run the QUERY search path (greedy upper
     descent + level-0 beam at efConstruction) for every corpus node over
     the built graph and merge the beam's candidates into its k-NN list.
@@ -637,7 +645,13 @@ def _polish_sweep(space, corpus, level0, uppers, dist, adj, *, efc: int,
             cur, cur_d = G.greedy_descent(space, qe, corpus, adj_u, None,
                                           cur, cur_d)
         bd, bi, _ = G.beam_search(space, qe, corpus, level0, None, cur,
-                                  ef=efc, expand=expand)
+                                  ef=efc, expand=expand, nbr_store=store)
+        if store is not None:
+            # the beam explored on int8 granules (ranking-only); the
+            # merged distances feed the downstream selection heuristic,
+            # so re-score the survivors exactly from f32 corpus rows —
+            # same recipe as the query path and the wave cstore
+            bd = G.score_rows(space, qe, corpus, bi)
         bd = jnp.where(
             (bi == node[:, None]) | (bi >= count) | (bi < 0)
             | (node[:, None] >= count),  # pad-state rows stay empty
@@ -663,12 +677,31 @@ def _polish_sweep(space, corpus, level0, uppers, dist, adj, *, efc: int,
 
 
 def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
-                     efc: int, expand: int, entry: int, chunk: int):
+                     efc: int, expand: int, entry: int, chunk: int,
+                     use_store: bool = False):
     """One beam-polish pass over all nodes (see _polish_sweep). Returns
-    the augmented-and-remerged (dist, adj), same width."""
+    the augmented-and-remerged (dist, adj), same width.
+
+    ``use_store``: explore the polish beam on an int8 replicated-neighbor
+    store gathered from the frozen level0 (one [cap, D] granule per
+    parent expansion instead of cap row gathers — the beam's dominant,
+    granule-count-bound cost), with the survivors re-scored exactly
+    before the merge. The caller gates eligibility (dense rows whose
+    space can score gathered rows; see methods/hnsw._cstore_ok)."""
     n_state = adj.shape[0]
     c_eff = int(min(chunk, n_state))
     nc = (n_state + c_eff - 1) // c_eff
+    store = None
+    if use_store:
+        vecs = corpus["vecs"]
+        if vecs.dtype == jnp.int8:
+            xq, xscale = vecs, 1.0
+        else:
+            s = float(jnp.max(jnp.abs(vecs))) / 127.0
+            xscale = s if s > 0 else 1.0
+            xq = jnp.clip(jnp.round(vecs / xscale), -127, 127).astype(jnp.int8)
+        rows = xq[jnp.clip(level0, 0, xq.shape[0] - 1)]  # [S, cap, D]
+        store = (rows, xscale)
     # the state must be a chunk multiple or the clamped dynamic slices
     # of the last chunk misalign against `node` — pad, sweep, slice back
     n2 = nc * c_eff
@@ -676,7 +709,7 @@ def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
         dist = jnp.concatenate([dist, jnp.full((n2 - n_state, dist.shape[1]), INF)])
         adj = jnp.concatenate([adj, jnp.full((n2 - n_state, adj.shape[1]), NEG1)])
     dist, adj = _polish_sweep(
-        space, corpus, level0, tuple(uppers), dist, adj,
+        space, corpus, level0, tuple(uppers), dist, adj, store,
         efc=efc, expand=expand, entry=int(entry), count=n,
         chunk=c_eff, nc=nc,
     )
