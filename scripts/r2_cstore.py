@@ -40,8 +40,12 @@ def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "300k"
     n = 1_000_000 if stage == "1m" else 300_000
     gpath = f"/tmp/gold_sift{'1m' if stage == '1m' else '300k'}_l2.npz"
-    pts = sift_like(n + NQ, 128, seed=0)
-    corpus, q = pts[:n], pts[n:]
+    # queries MUST be pts[1M:] of the 1,002,048 stream — every script
+    # sharing the cached gold files slices this way (r2_nnd_build.py);
+    # the first 300k run sliced pts[300k:302k] and scored recall 0.0
+    # against the 1M-stream gold (qps/build_s columns remain valid).
+    pts = sift_like(1_002_048, 128, seed=0)
+    corpus, q = pts[:n], pts[1_000_000:]
     try:
         if not os.path.exists(gpath):
             ex = Index("l2", Params(dim=128), method="seq_search")
