@@ -121,18 +121,21 @@ def _make_b(adj, krev: int, count: int):
     npairs = tgt.shape[0]
     skey = jnp.where(valid, tgt, IDBIG)
     order = jnp.argsort(skey)
-    sn, sp, sv = skey[order], src[order], valid[order]
-    first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
-    iar = jnp.arange(npairs, dtype=jnp.int32)
-    # start-of-run via inclusive prefix max (group starts ascend, so the
-    # cummax at i IS the start of i's run) — the scatter-max formulation
-    # it replaces is the op class that faulted the worker at 48M elements
-    pos = iar - jax.lax.cummax(jnp.where(first, iar, 0))
-    ok = sv & (pos < krev)
-    rev = jnp.full((s_rows, krev), NEG1)
-    rev = rev.at[
-        jnp.where(ok, sn, s_rows), jnp.clip(pos, 0, krev - 1)
-    ].set(jnp.where(ok, sp, NEG1), mode="drop")
+    sn, sp = skey[order], src[order]
+    # SCATTER-FREE grouped gather: pairs are sorted by target, so each
+    # target's first krev sources live at [gstart[t], gstart[t]+krev).
+    # gstart via binary search replaces the [S*k]-element scatter into
+    # [S, krev] — the tens-of-millions-element scatter op class faulted
+    # the TPU worker at 1M (48M scatter-max proven fatal; the plain
+    # .at[].set of the same size is the remaining suspect at 1M).
+    gstart = jnp.searchsorted(
+        sn, jnp.arange(s_rows, dtype=sn.dtype)
+    ).astype(jnp.int32)
+    idx = gstart[:, None] + jnp.arange(krev, dtype=jnp.int32)[None, :]
+    inb = idx < npairs
+    idx = jnp.where(inb, idx, npairs - 1)
+    hit = inb & (sn[idx] == jnp.arange(s_rows, dtype=sn.dtype)[:, None])
+    rev = jnp.where(hit, sp[idx], NEG1)
     return jnp.concatenate([adj, rev], axis=1)
 
 
@@ -385,19 +388,18 @@ def _rev_nearest(sel, seld, krev: int, count: int):
     dkey = jnp.where(valid, d, INF)
     sn, sd, sp = jax.lax.sort((skey, dkey, src), num_keys=2)
     npairs = tgt.shape[0]
-    sv = sn < IDBIG
-    first = jnp.concatenate([jnp.ones(1, bool), sn[1:] != sn[:-1]]) & sv
-    iar = jnp.arange(npairs, dtype=jnp.int32)
-    pos = iar - jax.lax.cummax(jnp.where(first, iar, 0))  # see _make_b
-    ok = sv & (pos < krev)
-    row = jnp.where(ok, sn, s_rows)
-    col = jnp.clip(pos, 0, krev - 1)
-    rev = jnp.full((s_rows, krev), NEG1).at[row, col].set(
-        jnp.where(ok, sp, NEG1), mode="drop"
-    )
-    revd = jnp.full((s_rows, krev), INF).at[row, col].set(
-        jnp.where(ok, sd, INF), mode="drop"
-    )
+    # scatter-free grouped gather; see _make_b. Pairs sort by (target,
+    # distance), so target t's nearest krev sources are the run prefix
+    # at gstart[t] — gather them instead of scattering all S*m pairs.
+    gstart = jnp.searchsorted(
+        sn, jnp.arange(s_rows, dtype=sn.dtype)
+    ).astype(jnp.int32)
+    idx = gstart[:, None] + jnp.arange(krev, dtype=jnp.int32)[None, :]
+    inb = idx < npairs
+    idx = jnp.where(inb, idx, npairs - 1)
+    hit = inb & (sn[idx] == jnp.arange(s_rows, dtype=sn.dtype)[:, None])
+    rev = jnp.where(hit, sp[idx], NEG1)
+    revd = jnp.where(hit, sd[idx], INF)
     return rev, revd
 
 
