@@ -611,9 +611,15 @@ class Hnsw(Method):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
         # construction-time replicated neighbor store (int8, level 0):
         # ride the wave build's level-0 beam on granule gathers — see
-        # make_wave_step(use_cstore=...). Opt-in while unmeasured; gated
-        # by _cstore_ok() (dense f32/bf16 rows, no sketch proxy).
-        self.construction_store = pm.get("constructionStore", 0, int)
+        # make_wave_step(use_cstore=...). Default ON where eligible
+        # (_cstore_ok: dense f32/bf16 rows, no sketch proxy): the 1M
+        # same-process A/B built 778 s vs 1941.7 s (2.5x) at IDENTICAL
+        # recall@10 (.9686/.9857 vs .9685/.9857 at ef=14/20,
+        # r2_cstore.jsonl) — selection re-scores candidates from f32
+        # rows, so int8 only perturbs beam exploration. Set
+        # constructionStore=0 to disable.
+        self._cstore_explicit = pm.has("constructionStore")
+        self.construction_store = pm.get("constructionStore", 1, int)
         self.seed = pm.get("seed", 0, int)
         pm.check_unused()
         self._nbr_store = None
@@ -792,12 +798,23 @@ class Hnsw(Method):
         # mid-range (distance-halving) edges the k-NN + uniform-random
         # candidate pool lacks (ops/nndescent._polish_sweep rationale)
         polish_store = bool(self.nnd_polish_store) and self._cstore_ok()
+
+        def polish_prog(ci, nc, state):
+            # profile mode: sync every 64 chunks so a host-chunked-sweep
+            # worker fault names its chunk range instead of the phase
+            if prof and ci % 64 == 63:
+                import jax.numpy as jnp
+
+                float(jnp.sum(state[:1, :1]))
+                log("INFO", f"hnsw nnd polish chunk {ci + 1}/{nc}")
+
         for p in range(self.nnd_polish):
             dist, adj = ND.polish_knn_lists(
                 sp, corpus, level0, self._upper, dist, adj, n,
                 efc=self.ef_construction, expand=self.construction_expand,
                 entry=self._entry, chunk=min(2048, self.nnd_chunk * 2),
                 use_store=polish_store,
+                progress=polish_prog if prof else None,
             )
             if prof:
                 mark(f"polish{p}", dist)
@@ -1083,7 +1100,10 @@ class Hnsw(Method):
             and vecs.dtype in (jnp.float32, jnp.bfloat16)
             and getattr(vecs, "ndim", 0) == 2
         )
-        if not ok and self.construction_store:
+        if not ok and self.construction_store and getattr(
+                self, "_cstore_explicit", False):
+            # warn only on explicit opt-in: the store defaults ON and
+            # silently stands down for non-dense-row encodings
             log("WARN", "hnsw: constructionStore ignored (space/encoding "
                         "not dense-row eligible)")
         return ok

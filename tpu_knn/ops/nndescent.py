@@ -634,40 +634,10 @@ def _polish_sweep(space, corpus, level0, uppers, dist, adj, store, *,
     def body(ci, state):
         dist_new, adj_new = state
         base = ci * chunk
-        node = base + jnp.arange(chunk, dtype=jnp.int32)
-        vecs = corpus["vecs"]
-        # clipped gather, NOT dynamic_slice: the graph state is padded to
-        # a chunk multiple >= the corpus padding, and a clamped slice
-        # would misalign q vs node for the whole last chunk
-        q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
-        qe = space.rows_as_queries(q)
-        cur = jnp.full(chunk, entry, jnp.int32)
-        cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
-        for adj_u in reversed(uppers):
-            cur, cur_d = G.greedy_descent(space, qe, corpus, adj_u, None,
-                                          cur, cur_d)
-        bd, bi, _ = G.beam_search(space, qe, corpus, level0, None, cur,
-                                  ef=efc, expand=expand, nbr_store=store)
-        if store is not None:
-            # the beam explored on int8 granules (ranking-only); the
-            # merged distances feed the downstream selection heuristic,
-            # so re-score the survivors exactly from f32 corpus rows —
-            # same recipe as the query path and the wave cstore
-            bd = G.score_rows(space, qe, corpus, bi)
-        bd = jnp.where(
-            (bi == node[:, None]) | (bi >= count) | (bi < 0)
-            | (node[:, None] >= count),  # pad-state rows stay empty
-            INF, bd,
+        nd, ni = _polish_chunk_math(
+            space, corpus, level0, uppers, dist, adj, store, base,
+            efc=efc, expand=expand, entry=entry, count=count, chunk=chunk,
         )
-        adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
-        dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
-        cat_d = jnp.concatenate([dist_c, bd], axis=1)
-        cat_i = jnp.concatenate([adj_c, bi], axis=1)
-        # dedup WITHOUT truncation: a nearest-width cut would let the
-        # beam's near candidates displace the list's far/random entries,
-        # stripping exactly the diversity the selection heuristic needs
-        # (measured: truncating here DROPPED 10k self-hit 0.990 -> 0.967)
-        nd, ni = _merge_dedup_sorted(cat_d, cat_i, cat_d.shape[1])
         dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, base, 0)
         adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, base, 0)
         return dist_new, adj_new
@@ -678,9 +648,73 @@ def _polish_sweep(space, corpus, level0, uppers, dist, adj, store, *,
     return jax.lax.fori_loop(0, nc, body, init)
 
 
+def _polish_chunk_math(space, corpus, level0, uppers, dist, adj, store,
+                       base, *, efc: int, expand: int, entry: int,
+                       count: int, chunk: int):
+    """One polish chunk: query-path search for ``chunk`` nodes at
+    ``base`` + untruncated dedup-merge into their k-NN lists. Shared by
+    the fused fori_loop sweep and the host-chunked sweep."""
+    node = base + jnp.arange(chunk, dtype=jnp.int32)
+    vecs = corpus["vecs"]
+    # clipped gather, NOT dynamic_slice: the graph state is padded to
+    # a chunk multiple >= the corpus padding, and a clamped slice
+    # would misalign q vs node for the whole last chunk
+    q = vecs[jnp.clip(node, 0, vecs.shape[0] - 1)]
+    qe = space.rows_as_queries(q)
+    cur = jnp.full(chunk, entry, jnp.int32)
+    cur_d = G.score_rows(space, qe, corpus, cur[:, None])[:, 0]
+    for adj_u in reversed(uppers):
+        cur, cur_d = G.greedy_descent(space, qe, corpus, adj_u, None,
+                                      cur, cur_d)
+    bd, bi, _ = G.beam_search(space, qe, corpus, level0, None, cur,
+                              ef=efc, expand=expand, nbr_store=store)
+    if store is not None:
+        # the beam explored on int8 granules (ranking-only); the
+        # merged distances feed the downstream selection heuristic,
+        # so re-score the survivors exactly from f32 corpus rows —
+        # same recipe as the query path and the wave cstore
+        bd = G.score_rows(space, qe, corpus, bi)
+    bd = jnp.where(
+        (bi == node[:, None]) | (bi >= count) | (bi < 0)
+        | (node[:, None] >= count),  # pad-state rows stay empty
+        INF, bd,
+    )
+    adj_c = jax.lax.dynamic_slice_in_dim(adj, base, chunk, 0)
+    dist_c = jax.lax.dynamic_slice_in_dim(dist, base, chunk, 0)
+    cat_d = jnp.concatenate([dist_c, bd], axis=1)
+    cat_i = jnp.concatenate([adj_c, bi], axis=1)
+    # dedup WITHOUT truncation: a nearest-width cut would let the
+    # beam's near candidates displace the list's far/random entries,
+    # stripping exactly the diversity the selection heuristic needs
+    # (measured: truncating here DROPPED 10k self-hit 0.990 -> 0.967)
+    return _merge_dedup_sorted(cat_d, cat_i, cat_d.shape[1])
+
+
+@partial(jax.jit, static_argnames=("space", "efc", "expand", "entry",
+                                   "count", "chunk"),
+         donate_argnums=(7, 8))
+def _polish_chunk_step(space, corpus, level0, uppers, dist, adj, store,
+                       dist_new, adj_new, ci, *, efc: int, expand: int,
+                       entry: int, count: int, chunk: int):
+    """Host-chunked polish step: same math as the fused sweep's body,
+    one dispatch per chunk with the output state donated through."""
+    base = ci * chunk
+    nd, ni = _polish_chunk_math(
+        space, corpus, level0, uppers, dist, adj, store, base,
+        efc=efc, expand=expand, entry=entry, count=count, chunk=chunk,
+    )
+    dist_new = jax.lax.dynamic_update_slice_in_dim(dist_new, nd, base, 0)
+    adj_new = jax.lax.dynamic_update_slice_in_dim(adj_new, ni, base, 0)
+    return dist_new, adj_new
+
+
+POLISH_FUSE_MAX = 500_000  # fused-sweep ceiling (see polish_knn_lists)
+
+
 def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
                      efc: int, expand: int, entry: int, chunk: int,
-                     use_store: bool = False):
+                     use_store: bool = False, fuse: bool | None = None,
+                     progress=None):
     """One beam-polish pass over all nodes (see _polish_sweep). Returns
     the augmented-and-remerged (dist, adj), same width.
 
@@ -689,7 +723,18 @@ def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
     parent expansion instead of cap row gathers — the beam's dominant,
     granule-count-bound cost), with the survivors re-scored exactly
     before the merge. The caller gates eligibility (dense rows whose
-    space can score gathered rows; see methods/hnsw._cstore_ok)."""
+    space can score gathered rows; see methods/hnsw._cstore_ok).
+
+    ``fuse``: None (auto) fuses the whole pass into ONE dispatch up to
+    POLISH_FUSE_MAX state rows and host-chunks above it — the fused
+    1M program FAULTED THE TPU WORKER (batch42 1mprof: every prior
+    phase synced clean, crash surfaced at the polish mark) while the
+    same per-chunk math runs standalone at 1M constantly (it IS the
+    query path). Host-chunking costs one dispatch per chunk (~19 ms
+    each over the tunnel, ~19 s at 1M) against a ~35 s+ phase.
+    ``progress(ci, nc, state)``: optional host callback per dispatched
+    chunk (profile-mode fault localization — sync ``state`` there to
+    pin a faulting chunk range)."""
     n_state = adj.shape[0]
     c_eff = int(min(chunk, n_state))
     nc = (n_state + c_eff - 1) // c_eff
@@ -710,11 +755,26 @@ def polish_knn_lists(space, corpus, level0, uppers, dist, adj, n, *,
     if n2 != n_state:
         dist = jnp.concatenate([dist, jnp.full((n2 - n_state, dist.shape[1]), INF)])
         adj = jnp.concatenate([adj, jnp.full((n2 - n_state, adj.shape[1]), NEG1)])
-    dist, adj = _polish_sweep(
-        space, corpus, level0, tuple(uppers), dist, adj, store,
-        efc=efc, expand=expand, entry=int(entry), count=n,
-        chunk=c_eff, nc=nc,
-    )
+    if fuse if fuse is not None else (n2 <= POLISH_FUSE_MAX):
+        dist, adj = _polish_sweep(
+            space, corpus, level0, tuple(uppers), dist, adj, store,
+            efc=efc, expand=expand, entry=int(entry), count=n,
+            chunk=c_eff, nc=nc,
+        )
+    else:
+        w_out = dist.shape[1] + efc
+        dist_new = jnp.full((n2, w_out), INF)
+        adj_new = jnp.full((n2, w_out), NEG1)
+        for ci in range(nc):
+            dist_new, adj_new = _polish_chunk_step(
+                space, corpus, level0, tuple(uppers), dist, adj, store,
+                dist_new, adj_new, jnp.int32(ci),
+                efc=efc, expand=expand, entry=int(entry), count=n,
+                chunk=c_eff,
+            )
+            if progress is not None:
+                progress(ci, nc, dist_new)
+        dist, adj = dist_new, adj_new
     return dist[:n_state], adj[:n_state]
 
 
