@@ -215,3 +215,38 @@ def test_reach_from_host_bfs():
     assert r3.tolist() == [False, False, False, True, True, False]
     assert not _reach_from_host(adj, -1).any()
     assert not _reach_from_host(adj, 99).any()
+
+
+def test_polish_fused_equals_host_chunked(data):
+    # the fused 1M polish program faulted the TPU worker (batch42
+    # 1mprof); polish_knn_lists host-chunks above POLISH_FUSE_MAX with
+    # one donated-state dispatch per chunk — the two sweeps must be
+    # bit-identical (plain and int8-store arms)
+    import jax.numpy as jnp
+
+    from tpu_knn.methods.hnsw import _corpus_dict
+    from tpu_knn.ops import nndescent as ND
+
+    corpus_pts, _ = data
+    idx = _build(corpus_pts, nndPolish=0)
+    m = idx.method
+    sp = m._graph_space
+    corpus = _corpus_dict(sp, m._graph_data)
+    lv0 = m.graph["level0"]
+    adj_j = lv0
+    dist_j = jnp.where(
+        adj_j >= 0,
+        jnp.arange(adj_j.shape[1], dtype=jnp.float32)[None, :],
+        jnp.inf,
+    )
+    kw = dict(efc=30, expand=2, entry=int(m._entry), chunk=256)
+    for use_store in (False, True):
+        d1, a1 = ND.polish_knn_lists(
+            sp, corpus, lv0, m._upper, dist_j, adj_j, N,
+            fuse=True, use_store=use_store, **kw)
+        d2, a2 = ND.polish_knn_lists(
+            sp, corpus, lv0, m._upper, dist_j, adj_j, N,
+            fuse=False, use_store=use_store, **kw)
+        assert np.array_equal(np.asarray(a1), np.asarray(a2))
+        assert np.array_equal(
+            np.asarray(d1), np.asarray(d2), equal_nan=True)
