@@ -573,7 +573,11 @@ class Hnsw(Method):
         # polish-beam int8 neighbor store (exact re-score before merge);
         # opt-in until the chip A/B lands — polish is ~35 s of the 165 s
         # 300k NND build and the beam is granule-count-bound
-        self.nnd_polish_store = pm.get("nndPolishStore", 0, int)
+        # default ON where dense-row eligible (_cstore_ok): recall was
+        # IDENTICAL to exact-exploration polish at 300k AND 1M
+        # (r2_nnd.jsonl ps300k/ps1m) with faster builds — the polish
+        # beam explores int8 granules, selection re-scores exact
+        self.nnd_polish_store = pm.get("nndPolishStore", 1, int)
         # opt-in build-phase wall attribution: sync + log after each
         # phase (init/descent/final exact, link, uppers, polish). The
         # syncs serialize dispatch, so profiled walls are upper bounds.
