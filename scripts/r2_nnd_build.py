@@ -110,6 +110,22 @@ def main():
                     dict(M=16, efConstruction=100, buildAlgo="nndescent",
                          nndK=nk, nndIters=it),
                 )
+        elif stage == "100k":
+            # bench-scale A/B: does NND beat the wave build at 100k
+            # (bench.py's corpus size)? Decides the buildAlgo=auto
+            # threshold. Same process: nnd then waves.
+            corpus = pts[:100_000]
+            gold = gold_ids(corpus, q, "/tmp/gold_sift100k_l2.npz")
+            emit(stage=stage, event="gold_ok")
+            build_and_sweep(
+                corpus, q, gold, "nnd100k", (10, 14, 20, 50),
+                dict(M=16, efConstruction=100, buildAlgo="nndescent"),
+            )
+            build_and_sweep(
+                corpus, q, gold, "wave100k", (10, 14, 20, 50),
+                dict(M=16, efConstruction=100, waveSize=1024,
+                     constructionExpand=4),
+            )
         elif stage == "1mprof":
             # fault localization: nndProfile syncs after every phase AND
             # every prune_and_link sub-phase (pl_prune/pl_rev/pl_shrink) —

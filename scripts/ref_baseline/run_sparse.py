@@ -16,14 +16,15 @@ def main():
     n = int(sys.argv[1])
     efc = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 30_000
     sys.path.insert(0, "/root/repo")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from tpu_knn.eval.datasets import sparse_like
 
-    pts = sparse_like(n + NQ, vocab=30_000, nnz=64, seed=0)
-    path = f"/tmp/ref_sparse_{n}.bin"
+    pts = sparse_like(n + NQ, vocab=vocab, nnz=64, seed=0)
+    path = f"/tmp/ref_sparse_{n}_{vocab}.bin"
     with open(path, "wb") as f:
         for ids, vals in pts[: n + NQ]:
             f.write(struct.pack("<i", len(ids)))
