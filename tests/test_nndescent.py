@@ -141,6 +141,29 @@ def test_fallback_to_waves(data):
     assert np.all(np.asarray(ids)[:, 0] >= 0)
 
 
+def test_auto_threshold(data):
+    # buildAlgo=auto (the default) routes by corpus size: >= threshold
+    # builds the NND graph, below it the wave graph — each bit-identical
+    # to the explicitly requested algorithm (both are deterministic
+    # under the fixed default seed)
+    corpus, _ = data
+    explicit_nnd = _build(corpus, nndChunk=512)
+    explicit_wave = Index("l2", Params(dim=DIM), method="hnsw")
+    explicit_wave.add_dense_batch(corpus)
+    explicit_wave.build_index(Params(M=8, efConstruction=60, waveSize=512,
+                                     buildAlgo="waves"))
+    for thresh, ref in ((N, explicit_nnd), (N + 1, explicit_wave)):
+        idx = Index("l2", Params(dim=DIM), method="hnsw")
+        idx.add_dense_batch(corpus)
+        idx.build_index(Params(M=8, efConstruction=60, waveSize=512,
+                               nndChunk=512, nndIters=5, nndK=24, nndKrev=8,
+                               buildAlgo="auto", buildAlgoAutoN=thresh))
+        assert np.array_equal(
+            np.asarray(idx.method.graph["level0"]),
+            np.asarray(ref.method.graph["level0"]),
+        ), f"auto@{thresh} did not match the expected build algorithm"
+
+
 def test_sift_u8_build():
     rng = np.random.default_rng(0)
     centers = rng.integers(0, 200, size=(16, 128))

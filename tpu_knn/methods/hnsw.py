@@ -541,9 +541,16 @@ class Hnsw(Method):
         # build that attacks the gather-bound wave beam (~58% of build
         # device time, BASELINE.md). Falls back to waves with a WARN for
         # spaces without a symmetric affine row encode.
-        self.build_algo = pm.get("buildAlgo", "waves", str)
-        if self.build_algo not in ("waves", "nndescent"):
+        self.build_algo = pm.get("buildAlgo", "auto", str)
+        if self.build_algo not in ("auto", "waves", "nndescent"):
             raise ValueError(f"bad buildAlgo {self.build_algo!r}")
+        # "auto" picks NN-descent at-or-above this corpus size when the
+        # space is NND-eligible and no sketch proxy is in play, waves
+        # otherwise. Measured (BASELINE.md "1M NND construction"): warm
+        # NND beats the wave build 84-94 s vs 179 s at 300k and 253.7 s
+        # vs 593 s at 1M at equal-or-better recall; the wave build still
+        # wins cold construction at/below ~100k (r2_nnd.jsonl).
+        self.build_algo_auto_n = pm.get("buildAlgoAutoN", 200_000, int)
         # NN-descent knobs: k-NN list width (CAGRA-style: build wider
         # than maxM0, prune down), reverse-edge cap per sweep, per-parent
         # candidates kept before the merge, sweep cap, scoring chunk
@@ -690,10 +697,20 @@ class Hnsw(Method):
         n = self._prepare(store)
         if n == 0:
             return
-        if self.build_algo == "nndescent" and self._build_nndescent(n):
+        algo = self.build_algo
+        if algo == "auto":
+            # sketch-proxy (sparse) builds stay on waves: NND-over-proxy
+            # quality at scale is unmeasured; explicit buildAlgo=
+            # nndescent still routes them through NND for A/Bs.
+            algo = (
+                "nndescent"
+                if n >= self.build_algo_auto_n and self._proxy is None
+                else "waves"
+            )
+        if algo == "nndescent" and self._build_nndescent(n):
             pass
         else:
-            if self.build_algo == "nndescent":
+            if algo == "nndescent" and self.build_algo == "nndescent":
                 log("WARNING", "hnsw: buildAlgo=nndescent needs a symmetric "
                                "affine row encode; falling back to waves")
             self._run_waves(0, n)

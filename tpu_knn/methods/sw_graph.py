@@ -83,6 +83,10 @@ class SmallWorldRand(Hnsw):
                 searchExpand=expand,
                 constructionExpand=c_expand,
                 seed=seed,
+                # pin the insertion-wave build: hnsw's buildAlgo=auto
+                # default is measured for hnsw only, and sw-graph's
+                # delete patching assumes wave construction state
+                buildAlgo="waves",
             ),
         )
         self.nn = nn
