@@ -350,3 +350,49 @@ def test_construction_store_recall_and_gating(corpus):
                           constructionStore=1))
     d, i = sp.knn_query_batch(docs[:4], 1)
     assert (np.asarray(i)[:, 0] >= 0).all()
+
+
+def test_cstore_stands_down_sparse_and_fusion_wave_builds():
+    """Round-2 regression (e22103b): constructionStore defaulted ON and
+    the eligibility gate keyed on vecs.dtype alone — sparse val matrices
+    and fusion dense components are f32 2-D too, so the raw sparse wave
+    build (sketchDim=0, reference hnsw.cc:183-470 space-generic path)
+    and fusion construction handed the store's {x, pad} block to spaces
+    needing their own layout keys (KeyError 'cols'/'d0'). The gate now
+    requires the corpus dict be fully described by {vecs, count}."""
+    import json
+
+    from tpu_knn import DataKind
+
+    rng = np.random.default_rng(3)
+    docs = [
+        (sorted((rng.choice(50, 6, replace=False) + 1).tolist()),
+         (rng.random(6) + 0.1).tolist())
+        for _ in range(64)
+    ]
+    # raw sparse wave build: no proxy, default constructionStore
+    sp = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    sp.add_sparse_batch(docs)
+    sp.build_index(Params(M=4, efConstruction=10, waveSize=16, sketchDim=0))
+    assert sp.method._cstore_ok() is False
+    d, i = sp.knn_query_batch(docs[:4], 3)
+    assert (np.asarray(i)[:, 0] == np.arange(1, 5)).all()  # sparse auto-ids are 1-based
+
+    # fusion wave build, default constructionStore
+    objs = [json.dumps({
+        "dense": [rng.standard_normal(4).tolist()],
+        "sparse": [[sorted((rng.choice(30, 4, replace=False) + 1).tolist()),
+                    (rng.random(4) + 0.1).tolist()]],
+    }) for _ in range(32)]
+    fu = Index("sparse_dense_fusion", method="hnsw", data_type=DataKind.STRING)
+    fu.add_string_batch(objs)
+    fu.build_index(Params(M=4, efConstruction=8, waveSize=8))
+    assert fu.method._cstore_ok() is False
+    d, i = fu.knn_query_batch(objs[:2], 2)
+    assert np.asarray(i).shape == (2, 2)
+
+    # the gate is not over-tightened: dense rows stay eligible
+    de = Index("l2", Params(dim=8), method="hnsw")
+    de.add_dense_batch(rng.standard_normal((64, 8)).astype(np.float32))
+    de.build_index(Params(M=4, efConstruction=10, waveSize=16))
+    assert de.method._cstore_ok() is True

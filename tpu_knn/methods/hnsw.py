@@ -1114,9 +1114,14 @@ class Hnsw(Method):
             return False
         corpus = _corpus_dict(self._graph_space, self._graph_data)
         vecs = corpus.get("vecs")
+        # the store's gathered scorer reconstructs ONLY {x, pad}: any
+        # extra layout key (sparse 'cols'/'len', fusion components, a
+        # gathered 'term' or dynamic 'row_mask') means rows alone don't
+        # determine distances — stand down (round-2 regression e22103b:
+        # sparse val matrices are f32 2-D too, so dtype checks alone
+        # wrongly admitted sparse/fusion wave builds)
         ok = (
-            "term" not in corpus
-            and "row_mask" not in corpus
+            set(corpus) <= {"vecs", "count"}
             and hasattr(vecs, "dtype")
             and vecs.dtype in (jnp.float32, jnp.bfloat16)
             and getattr(vecs, "ndim", 0) == 2
