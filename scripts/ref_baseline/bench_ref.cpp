@@ -3,10 +3,13 @@
 // the bench machine's CPU so BASELINE.md gets a *measured* reference
 // column instead of a BLAS bound.
 //
-// Usage: bench_ref <data.bin> <n> <d> <nq> <space> <threads> <M> <efC> <k> <ef1,ef2,...>
+// Usage: bench_ref <data.bin> <n> <d> <nq> <space> <threads> <M> <efC> <k> <ef1,ef2,...> [napp <mt1,mt2,...>]
 //   data.bin: float32 row-major, n corpus rows then nq query rows.
 // Prints JSON lines: exact-scan QPS, hnsw build seconds, per-efSearch
-// QPS + recall@k vs the exact scan.
+// QPS + recall@k vs the exact scan. The optional trailing "napp"
+// stage additionally builds pivot_neighb_invindx (numPivot=512,
+// numPrefix=32 — matched to the tpu_knn NAPP arm) and sweeps the
+// given query-time minTimes values.
 
 #include <chrono>
 #include <cstdint>
@@ -186,6 +189,42 @@ int main(int argc, char** argv) {
         "\"recall\": %.4f}\n",
         ef.c_str(), nq / dt, rec);
     std::fflush(stdout);
+  }
+
+  // ---- napp (pivot_neighb_invindx), optional ----------------------
+  if (argc >= 13 && std::string(argv[11]) == "napp") {
+    const std::vector<std::string> mts = split_csv(argv[12]);
+    Index<float>* napp = MethodFactoryRegistry<float>::Instance().CreateMethod(
+        false, "napp", space_name, *space, data);
+    std::vector<std::string> np;
+    np.push_back("numPivot=512");
+    np.push_back("numPrefix=32");
+    np.push_back("indexThreadQty=" + std::to_string(threads));
+    double tn = now_s();
+    napp->CreateIndex(AnyParams(np));
+    double napp_build_s = now_s() - tn;
+    std::printf("{\"metric\": \"ref_napp_build_s\", \"value\": %.1f}\n",
+                napp_build_s);
+    std::fflush(stdout);
+    for (const std::string& mt : mts) {
+      napp->SetQueryTimeParams(AnyParams({"minTimes=" + mt}));
+      std::vector<std::vector<int>> ids;
+      run_queries(*space, napp, queries, k, &ids);  // warm
+      double dt = run_queries(*space, napp, queries, k, &ids);
+      double rec = 0;
+      for (int qi = 0; qi < nq; ++qi) {
+        std::set<int> g(gold[qi].begin(), gold[qi].end());
+        int hit = 0;
+        for (int id : ids[qi]) hit += g.count(id);
+        rec += double(hit) / double(k);
+      }
+      rec /= nq;
+      std::printf(
+          "{\"metric\": \"ref_napp\", \"minTimes\": %s, \"qps\": %.1f, "
+          "\"recall\": %.4f}\n",
+          mt.c_str(), nq / dt, rec);
+      std::fflush(stdout);
+    }
   }
   return 0;
 }

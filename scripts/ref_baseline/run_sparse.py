@@ -34,6 +34,7 @@ def main():
     cmd = [
         "/tmp/ref_baseline/bench_ref", path, str(n), "0", str(NQ),
         "cosinesimil_sparse_fast", "1", str(m), str(efc), "10", "20,50,100,200",
+        "napp", "2,3,4",  # numPivot=512/numPrefix=32, matched to our arm
     ]
     print("running:", " ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=False)

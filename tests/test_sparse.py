@@ -408,3 +408,44 @@ def test_support_dots_matches_oracle(rng):
     got_f = np.asarray(S.support_found(
         jnp.asarray(qcol, jnp.int32), jnp.asarray(cols, jnp.int32)))
     np.testing.assert_array_equal(got_f, want_found)
+
+
+def test_exact_post_repairs_proxy_build(rng):
+    """exactPost (default 1) re-inserts every point through the
+    sketch-proxy-built graph with EXACT host-space traversal — the
+    quality repair for bag-of-words near-ties that JL sketches can't
+    rank (reference exact-distance construction, hnsw.cc:183-470).
+    The repaired graph must be at least as good as the proxy-only one
+    on self-recall, and the pass must actually run (graph changes)."""
+    from tpu_knn.eval.datasets import sparse_like
+
+    pts = sparse_like(600, vocab=2_000, nnz=24, n_clusters=12, seed=5)
+    xs, qs = pts[:512], pts[512:560]
+
+    def build(**kw):
+        idx = Index("cosinesimil_sparse", method="hnsw",
+                    data_type=DataKind.SPARSE)
+        idx.add_sparse_batch(xs)
+        idx.build_index(Params(M=8, efConstruction=40, waveSize=64,
+                               sketchDim=256, **kw))
+        return idx
+
+    ex = Index("cosinesimil_sparse", method="seq_search",
+               data_type=DataKind.SPARSE)
+    ex.add_sparse_batch(xs)
+    _, gold = ex.knn_query_batch(qs, 10)
+
+    def recall(idx):
+        idx.set_query_time_params(Params(efSearch=60))
+        _, ids = idx.knn_query_batch(qs, 10)
+        return float(np.mean([
+            len(set(a[a >= 0]) & set(b)) / 10 for a, b in zip(np.asarray(ids), np.asarray(gold))
+        ]))
+
+    base = build(exactPost=0)
+    rep = build()  # exactPost default ON
+    g0 = np.asarray(base.method.graph["level0"])
+    g1 = np.asarray(rep.method.graph["level0"])
+    assert not np.array_equal(g0, g1)  # the pass ran and changed edges
+    r0, r1 = recall(base), recall(rep)
+    assert r1 >= r0 - 0.02  # repair never meaningfully hurts

@@ -617,6 +617,16 @@ class Hnsw(Method):
         # (proxy pair scores are noise on near-tied data; see
         # make_wave_step). Costs one blocked pair_dots_qdense per wave.
         self.exact_pairs = pm.get("exactPairs", 1, int)
+        # exact-space post passes after a sketch-proxy build: re-insert
+        # every point through the built graph with the HOST space doing
+        # the TRAVERSAL too (not just refinement) — the quality repair
+        # for bag-of-words corpora where JL sketches can't rank
+        # near-ties (sketch-space exact scan holds only ~86% of the
+        # true top-10; VERDICT r2 item 2). Equivalent to the
+        # reference's exact-distance construction decisions
+        # (hnsw.cc:183-470) applied as repair passes. Needs the exact
+        # corpus-as-query encodings (exactBase/exactPairs keep them).
+        self.exact_post = pm.get("exactPost", 1, int)
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
@@ -924,7 +934,9 @@ class Hnsw(Method):
             self._qenc_all = None if skip_construction else {"q": pdata.vecs[:n]}
             # exactPairs also needs the host-space encodings — without
             # them it would silently fall back to proxy pair scores
-            if not skip_construction and (self.exact_base or self.exact_pairs):
+            if not skip_construction and (
+                self.exact_base or self.exact_pairs or self.exact_post
+            ):
                 self._exact_qenc_all = self.space.encode_queries(
                     self.space.store_as_query_points(store)[self.order]
                 )
@@ -1061,6 +1073,45 @@ class Hnsw(Method):
                     level0, upper, cstore = out
                 else:
                     level0, upper = out
+        # exact-space post passes (sketch-proxy builds only): the same
+        # rebuild-and-merge loop, but the wave step traverses + selects
+        # with the EXACT host space — sketch noise steered the original
+        # beams, so their candidate sets miss true near-ties that only
+        # exact scoring can rank (the 1M sparse recall collapse)
+        if (
+            self._proxy is not None
+            and self.exact_post
+            and eqenc is not None
+            and hi >= n_total
+        ):
+            estep = jax.jit(
+                make_wave_step(
+                    self.space,
+                    self._n_total,
+                    w,
+                    self._max_level,
+                    efc=self.ef_construction,
+                    m=self.M,
+                    m0cap=self.maxM0,
+                    mcap=self.maxM,
+                    mates=min(self.wave_mates, w),
+                    expand=self.construction_expand,
+                    selection="none" if self.delaunay_type == 0 else "heur",
+                )
+            )
+            for _ in range(self.exact_post):
+                for wi in range(num_waves - 1, -1, -1):
+                    start = lo + wi * w
+                    level0, upper = estep(
+                        level0,
+                        upper,
+                        jnp.int32(start),
+                        jnp.asarray(wl_all[start : start + w]),
+                        jnp.int32(self._entry),
+                        jnp.int32(n_total),  # full visibility
+                        ecorpus,
+                        eqenc,
+                    )
         # the construction store is build-only state: drop it before the
         # final sync so its 4.3 GB (1M x 32 x 128) never coexists with
         # query-time allocations

@@ -112,26 +112,29 @@ def _vptree_knn(
     piv_d, piv_pos = T.smallest_k(dpiv, min(k, n_internal), pivot_pos)
     r = jnp.minimum(init_d[:, -1], piv_d[:, -1] if k <= n_internal else INF)
 
-    # phase 3: visit masks level by level (pruner rule, searchoracle.h) —
-    # shared with the range paths
-    visit = _vptree_visit_masks(dpiv, medians, r, pruner, depth)
+    # phase 3: per-leaf pruner bounds (the smallest radius that reaches
+    # each leaf); visit mask = bound <= r. The capped paths below spend
+    # the leaf budget in ASCENDING-BOUND order — the reference's
+    # pruner-guided recursion order (vptree.cc:417-470), not index order
+    prio = _vptree_leaf_bounds(dpiv, medians, pruner, depth)
+    visit = prio <= r[:, None]
 
     if gathered:
-        # phase 4 (gathered): each query gathers ONLY its first
-        # ``max_leaves`` visited leaves' member rows (left-to-right,
-        # the reference's MaxLeavesToVisit traversal-order cap) and
-        # scores them — work is O(Q * max_leaves * leaf_cap) instead of
-        # the masked path's O(Q * N) full-corpus pass, which made qps
-        # FLAT in the pruner (a 1M scan per batch regardless of alpha).
-        # Leaf groups stream through a lax.scan with a running top-k so
-        # gather temporaries stay bounded.
-        lidx = jnp.where(
-            visit,
-            jax.lax.broadcasted_iota(jnp.int32, visit.shape, 1),
-            n_leaves,
-        )
-        neg, _ = jax.lax.top_k(-lidx, max_leaves)
-        sel = -neg  # [Q, L] ascending leaf ids; n_leaves = no more visits
+        # phase 4 (gathered): each query gathers ONLY its ``max_leaves``
+        # best-bound visited leaves' member rows and scores them — work
+        # is O(Q * max_leaves * leaf_cap) instead of the masked path's
+        # O(Q * N) full-corpus pass, which made qps FLAT in the pruner
+        # (a 1M scan per batch regardless of alpha). Leaf groups stream
+        # through a lax.scan with a running top-k so gather temporaries
+        # stay bounded.
+        lidx = jax.lax.broadcasted_iota(jnp.int32, visit.shape, 1)
+        key = jnp.where(visit, prio, INF)
+        # stable sort: ties (e.g. the all-zero-bound home path) keep
+        # ascending leaf id, so the order is deterministic
+        skey, sid = jax.lax.sort((key, lidx), num_keys=1)
+        sel = jnp.where(
+            skey[:, :max_leaves] < INF, sid[:, :max_leaves], n_leaves
+        )  # [Q, L] best-bound leaf ids; n_leaves = no more visits
         # gathered rows per step ~4k, but never more leaves than the cap
         # (grp > max_leaves would pad sel with sentinels that still get
         # gathered and scored-to-INF — ~8x wasted work at max_leaves=8)
@@ -174,10 +177,19 @@ def _vptree_knn(
         )
         return md, ids, ndist
 
-    # maxLeavesToVisit cap in left-to-right order (vptree.cc MaxLeavesToVisit)
+    # maxLeavesToVisit cap in pruner-bound order (vptree.cc
+    # MaxLeavesToVisit spends its budget in recursion order — the
+    # best-bound subtrees first, not left-to-right)
     if max_leaves < n_leaves:
-        cum = jnp.cumsum(visit.astype(jnp.int32), axis=1)
-        visit = visit & (cum <= max_leaves)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, visit.shape, 1)
+        key = jnp.where(visit, prio, INF)
+        _, sid = jax.lax.sort((key, lidx), num_keys=1)
+        rank = (
+            jnp.zeros(visit.shape, jnp.int32)
+            .at[jnp.arange(visit.shape[0])[:, None], sid]
+            .set(jnp.broadcast_to(lidx, visit.shape))
+        )
+        visit = visit & (rank < max_leaves)
 
     # phase 4: masked streaming scan over the union of visited leaves
     # (memory-light: never materializes more than one [Q, chunk] block)
@@ -205,14 +217,20 @@ def _vptree_knn(
     return md, ids, ndist
 
 
-def _vptree_visit_masks(dpiv, medians, r, pruner, depth: int):
-    """Per-query leaf visit masks for a fixed ball radius ``r`` [Q] —
-    the phase-3 pruner rule of _vptree_knn (searchoracle.h Polynomial
-    Pruner; with alpha=exp=1 it is the exact triangle-inequality rule:
-    skip the right child iff r < median - d(q,pivot), etc.)."""
+def _vptree_leaf_bounds(dpiv, medians, pruner, depth: int):
+    """Per-(query, leaf) pruner bound: the smallest ball radius that
+    reaches the leaf — max over the leaf's root path of the crossing
+    cost ``a*diff**e`` at every level where the leaf sits on the far
+    side of the median. The visit rule of searchoracle.h:163-186 is
+    exactly ``bound <= r`` (prune iff r < a*diff**e at some crossing),
+    and ascending bound is the reference's pruner-guided recursion
+    order (vptree.cc:417-470 visits the query's side first, so its
+    MaxLeavesToVisit budget goes to best-bound subtrees — the round-2
+    index-order cap scored 0.26-0.40 recall at alpha=1 because it
+    spent the budget left-to-right instead)."""
     b = dpiv.shape[0]
     aL, eL, aR, eR = pruner[0], pruner[1], pruner[2], pruner[3]
-    visit = jnp.ones((b, 1), bool)
+    prio = jnp.zeros((b, 1), jnp.float32)
     for lvl in range(depth):
         lo = (1 << lvl) - 1
         width = 1 << lvl
@@ -220,12 +238,25 @@ def _vptree_visit_masks(dpiv, medians, r, pruner, depth: int):
         med = jax.lax.dynamic_slice_in_dim(medians, lo, width, 0)[None, :]
         diffL = jnp.maximum(med - dq, 0.0)
         diffR = jnp.maximum(dq - med, 0.0)
-        left_only = (dq <= med) & (r[:, None] < aL * diffL**eL)
-        right_only = (dq >= med) & (r[:, None] < aR * diffR**eR) & ~left_only
-        go_left = visit & ~right_only
-        go_right = visit & ~left_only
-        visit = jnp.stack([go_left, go_right], axis=2).reshape(b, 2 * width)
-    return visit
+        # entering the RIGHT child from the left side costs aL*diffL**eL
+        # (the original mask's left_only prune), and vice versa; the
+        # containing side costs 0
+        costR = jnp.where(dq <= med, aL * diffL**eL, 0.0)
+        costL = jnp.where(dq >= med, aR * diffR**eR, 0.0)
+        prio = jnp.stack(
+            [jnp.maximum(prio, costL), jnp.maximum(prio, costR)], axis=2
+        ).reshape(b, 2 * width)
+    return prio
+
+
+def _vptree_visit_masks(dpiv, medians, r, pruner, depth: int):
+    """Per-query leaf visit masks for a fixed ball radius ``r`` [Q] —
+    the phase-3 pruner rule of _vptree_knn (searchoracle.h Polynomial
+    Pruner; with alpha=exp=1 it is the exact triangle-inequality rule:
+    skip the right child iff r < median - d(q,pivot), etc.). Derived
+    from the leaf bounds: visited iff no path crossing needs a radius
+    above ``r``."""
+    return _vptree_leaf_bounds(dpiv, medians, pruner, depth) <= r[:, None]
 
 
 @partial(jax.jit, static_argnames=("space", "depth", "chunk"))

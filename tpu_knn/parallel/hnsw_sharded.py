@@ -118,8 +118,18 @@ class ShardedHnsw:
         # advancing their own subgraph. 0: one shard at a time (the
         # original path; also the fallback when a shard would be empty).
         self.parallel_build = _convert(pm.get("parallelBuild", True), bool)
+        # sharded builds are WAVE-ONLY: the shard_map wave program runs
+        # the same step on every device, and the NND build path has no
+        # sharded formulation yet — a non-waves buildAlgo would silently
+        # diverge from the single-chip default, so say so (ADVICE r2)
+        if str(pm.get("buildAlgo", "waves")) not in ("waves", "auto"):
+            from ..utils.logging import log
+
+            log("WARN", "sharded hnsw builds with insertion waves; "
+                        f"buildAlgo={pm.get('buildAlgo')!r} ignored")
         d = pm.as_dict()
         d.pop("parallelBuild", None)
+        d["buildAlgo"] = "waves"
         self.params = Params(d)
         self.ef_search = 20
         self.expand = 4
