@@ -104,12 +104,15 @@ def stage_glove():
 
     gold = gold_ids(mk_exact, q, "gold_glove12m_cos.npz")
     emit(stage="glove", event="gold_ok")
-    build_and_sweep(
-        lambda: Index("cosinesimil", Params(dim=d), method="hnsw"),
-        lambda idx: idx.add_dense_batch(corpus),
-        q, gold, "nnd_glove", (10, 14, 20, 50),
-        dict(M=16, efConstruction=100, buildAlgo="nndescent"),
-    )
+    # two builds: r0 pays residual compile, r1 is the warm headline
+    # (the reference's 444.1 s is an always-warm compiled binary)
+    for rep in (0, 1):
+        build_and_sweep(
+            lambda: Index("cosinesimil", Params(dim=d), method="hnsw"),
+            lambda idx: idx.add_dense_batch(corpus),
+            q, gold, f"nnd_glove_r{rep}", (10, 14, 20, 50),
+            dict(M=16, efConstruction=100, buildAlgo="nndescent"),
+        )
 
 
 def stage_100k():
@@ -144,7 +147,7 @@ def stage_100k():
 
 def stage_u8():
     from tpu_knn import Index, Params
-    from tpu_knn.core.dataset import DataKind
+    from tpu_knn.core.dataset import DataKind, DistKind
     from tpu_knn.eval.datasets import sift_like
 
     n = 1_000_000
@@ -153,8 +156,8 @@ def stage_u8():
     corpus, q = x8[:n], x8[n:]
 
     def mk_exact():
-        ex = Index("l2sqr_sift", Params(dim=128), method="seq_search",
-                   data_type=DataKind.UINT8)
+        ex = Index("l2sqr_sift", method="seq_search",
+                   data_type=DataKind.UINT8, dist_type=DistKind.INT)
         ex.add_uint8_batch(corpus)
         ex.build_index()
         return ex
@@ -162,8 +165,8 @@ def stage_u8():
     gold = gold_ids(mk_exact, q, "gold_siftu8_1m.npz")
     emit(stage="u8", event="gold_ok")
     build_and_sweep(
-        lambda: Index("l2sqr_sift", Params(dim=128), method="hnsw",
-                      data_type=DataKind.UINT8),
+        lambda: Index("l2sqr_sift", method="hnsw",
+                      data_type=DataKind.UINT8, dist_type=DistKind.INT),
         lambda idx: idx.add_uint8_batch(corpus),
         q, gold, "nnd_u8_1m", (14, 20, 50),
         dict(M=16, efConstruction=100, buildAlgo="nndescent"),

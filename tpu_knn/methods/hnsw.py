@@ -171,6 +171,7 @@ def make_wave_step(
     exact_pairs: bool = False,
     exact_base: bool = True,
     use_cstore: bool = False,
+    merge_forward: bool = False,
 ):
     """Build the (unjitted) batched insertion wave step.
 
@@ -304,14 +305,45 @@ def make_wave_step(
             best_i = jnp.take_along_axis(beam_i, bpos[:, None], 1)[:, 0]
             return sel, best_d, best_i
 
-        def scatter_forward(adj, cap, sel, wave_ids, connect):
-            fwd = (
-                jnp.concatenate([sel, jnp.full((w, cap - m), NEG1)], axis=1)
-                if cap > m
-                else sel[:, :cap]
-            )
+        def scatter_forward(adj, cap, sel, wave_ids, connect, qe):
+            if not merge_forward:
+                fwd = (
+                    jnp.concatenate([sel, jnp.full((w, cap - m), NEG1)], axis=1)
+                    if cap > m
+                    else sel[:, :cap]
+                )
+                tgt = jnp.where(connect, wave_ids, oob)
+                return adj.at[tgt].set(fwd, mode="drop")
+            # post-pass merge: REPLACING the row with the fresh selection
+            # wipes the reverse edges the row accumulated — processed in
+            # reverse order, nodes whose wave runs late end the pass with
+            # forward-only rows and hub in-degree collapses (measured:
+            # the exact post pass DROPPED 100k sparse recall 0.978 ->
+            # 0.516 with replace semantics). Merge old ∪ sel and shrink
+            # to cap with the same heuristic the reverse path uses.
+            old = adj[jnp.clip(wave_ids, 0, adj.shape[0] - 1)]  # [w, cap]
+            dup = jnp.any(sel[:, :, None] == old[:, None, :], axis=2)
+            selx = jnp.where(dup, NEG1, sel)
+            cand = jnp.concatenate([old, selx], axis=1)  # [w, cap+m]
+            cand = jnp.where(cand == wave_ids[:, None], NEG1, cand)
+            base_d = G.score_rows(space, qe, corpus, cand)
+            old_deg = jnp.sum(old >= 0, axis=1)
+            add_cnt = jnp.sum(selx >= 0, axis=1)
+            overflow = old_deg + add_cnt > cap
+            appended = G.pack_selected(cand, cand >= 0, cap)
+            sd, si = jax.lax.sort((base_d, cand), num_keys=1)
+            if selection == "none":
+                validr = sd < INF
+                keep = validr & (jnp.cumsum(validr, axis=1) <= cap)
+            else:
+                pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
+                keep = G.select_neighbors_heuristic(
+                    sd, pair_d, cap, exact=selection != "rng"
+                )
+            shrunk = G.pack_selected(si, keep, cap)
+            newrow = jnp.where(overflow[:, None], shrunk, appended)
             tgt = jnp.where(connect, wave_ids, oob)
-            return adj.at[tgt].set(fwd, mode="drop")
+            return adj.at[tgt].set(newrow, mode="drop")
 
         def reverse_update(adj, cap, sel, wave_ids, connect):
             """Insert each wave node into its selected neighbors' rows;
@@ -384,7 +416,7 @@ def make_wave_step(
             adj = new_upper[l - 1]
             connect = (wl >= l) & (wl >= 0)
             sel, best_d, best_i = level_candidates(adj, limit, wave_ids, wl, l, cur)
-            adj = scatter_forward(adj, mcap, sel, wave_ids, connect)
+            adj = scatter_forward(adj, mcap, sel, wave_ids, connect, qe)
             adj = reverse_update(adj, mcap, sel, wave_ids, connect)
             new_upper[l - 1] = adj
             better = (best_i >= 0) & (best_d < cur_d)
@@ -392,7 +424,7 @@ def make_wave_step(
             cur_d = jnp.where(better, best_d, cur_d)
         connect0 = wl >= 0
         sel, _, _ = level_candidates(level0, limit, wave_ids, wl, 0, cur)
-        level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0)
+        level0 = scatter_forward(level0, m0cap, sel, wave_ids, connect0, qe)
         level0 = reverse_update(level0, m0cap, sel, wave_ids, connect0)
         if use_cstore:
             # refresh the store rows this wave's level-0 scatters touched:
@@ -546,11 +578,14 @@ class Hnsw(Method):
             raise ValueError(f"bad buildAlgo {self.build_algo!r}")
         # "auto" picks NN-descent at-or-above this corpus size when the
         # space is NND-eligible and no sketch proxy is in play, waves
-        # otherwise. Measured (BASELINE.md "1M NND construction"): warm
-        # NND beats the wave build 84-94 s vs 179 s at 300k and 253.7 s
-        # vs 593 s at 1M at equal-or-better recall; the wave build still
-        # wins cold construction at/below ~100k (r2_nnd.jsonl).
-        self.build_algo_auto_n = pm.get("buildAlgoAutoN", 200_000, int)
+        # otherwise. Measured: warm NND beats the wave build 84-94 s vs
+        # 179 s at 300k and 253.7 s vs 593 s at 1M at equal-or-better
+        # recall (BASELINE.md "1M NND construction"); at 100k the warm
+        # builds tie (51.4 vs 57.3 s) but NND loses ~2pp recall at low
+        # ef (r3_nnd.jsonl wave100k_r1 0.9917-1.0 vs nnd100k_r1
+        # 0.9661-0.9927 at ef=10-50), so the threshold sits at the
+        # smallest measured NND-winning size.
+        self.build_algo_auto_n = pm.get("buildAlgoAutoN", 300_000, int)
         # NN-descent knobs: k-NN list width (CAGRA-style: build wider
         # than maxM0, prune down), reverse-edge cap per sweep, per-parent
         # candidates kept before the merge, sweep cap, scoring chunk
@@ -1048,9 +1083,16 @@ class Hnsw(Method):
             jax.profiler.stop_trace()
             self.profile_wave_window = None
         # post passes: re-run every point against the FULL graph, merging
-        # new neighborhoods into existing rows (reference: hnsw.cc:251-338,
-        # post=1|2 reverse-order rebuild-and-merge)
+        # new neighborhoods into existing rows (reference: hnsw.cc:251-338
+        # builds a second reverse-order graph and UNION-merges per-node
+        # friend lists, heuristic-shrunk at post=2 — so the pass must
+        # merge, never replace: replace semantics wipe accumulated
+        # reverse edges and collapse hub in-degree, measured -0.46
+        # recall on 100k sparse)
         n_total = len(self.levels)
+        if self.post and hi >= n_total:
+            step = self._make_wave_step(w, self._max_level, use_cstore,
+                                        merge_forward=True)
         for _ in range(self.post if hi >= n_total else 0):
             for wi in range(num_waves - 1, -1, -1):
                 start = lo + wi * w
@@ -1097,6 +1139,7 @@ class Hnsw(Method):
                     mates=min(self.wave_mates, w),
                     expand=self.construction_expand,
                     selection="none" if self.delaunay_type == 0 else "heur",
+                    merge_forward=True,
                 )
             )
             for _ in range(self.exact_post):
@@ -1132,7 +1175,8 @@ class Hnsw(Method):
 
     # ----- the batched insertion wave -----
 
-    def _make_wave_step(self, w: int, max_level: int, use_cstore: bool = False):
+    def _make_wave_step(self, w: int, max_level: int, use_cstore: bool = False,
+                        merge_forward: bool = False):
         return jax.jit(
             make_wave_step(
                 self._graph_space,
@@ -1150,6 +1194,7 @@ class Hnsw(Method):
                 exact_pairs=bool(self.exact_pairs),
                 exact_base=bool(self.exact_base),
                 use_cstore=use_cstore,
+                merge_forward=merge_forward,
             ),
             # alias the store through the step: without donation every
             # wave holds old+new copies (2 x 4.3 GB at 1M x 32 x 128)
