@@ -42,7 +42,7 @@ def host_counts(corpus, q, radius):
         x = corpus[base : base + 100_000].astype(np.float64)
         g = q.astype(np.float64) @ x.T
         dd = (q.astype(np.float64) ** 2).sum(1)[:, None] + cs[None, base : base + x.shape[0]] - 2 * g
-        dd = np.maximum(dd, 0.0)
+        dd = np.sqrt(np.maximum(dd, 0.0))  # the l2 space returns EUCLIDEAN distance
         lo += (dd <= radius - band).sum(1)
         hi += (dd <= radius + band).sum(1)
     return lo, hi

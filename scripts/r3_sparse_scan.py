@@ -56,6 +56,7 @@ def pad_csr(pts, nnz, pad_id):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    chunk_override = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     vocab = 30_000 if n <= 100_000 else 60_000
     import jax
 
@@ -75,9 +76,10 @@ def main():
     v_pad = ((vocab + 127) // 128) * 128
     ccol_np, cval_np = pad_csr(pts[:n], nnz, v_pad + 1)
     qcol_np, qval_np = pad_csr(pts[n:], nnz, v_pad + 1)
-    # pad the corpus to a 2048-row multiple: pad rows carry val=0 so
+    # pad the corpus to a chunk-multiple: pad rows carry val=0 so
     # they score 0 everywhere and only feed the discarded row-min
-    npad = ((n + 2047) // 2048) * 2048
+    pad_to = max(2048, chunk_override)
+    npad = ((n + pad_to - 1) // pad_to) * pad_to
     if npad > n:
         ccol_np = np.vstack([ccol_np, np.full((npad - n, nnz), v_pad + 1, np.int32)])
         cval_np = np.vstack([cval_np, np.zeros((npad - n, nnz), np.float32)])
@@ -212,7 +214,7 @@ def main():
             qcol = jnp.asarray(qcol_np[:nq])
             qval = jnp.asarray(qval_np[:nq])
             qd = _densify(qcol, qval, v_pad)
-            chunk = 2048 if n <= 100_000 else 1024
+            chunk = chunk_override or (2048 if n <= 100_000 else 1024)
 
             # oracle errors (distance blocks on the 64x4096 slice)
             dd = np.asarray(dot_qdense(qd[:64], ccol[:4096], cval[:4096]))
