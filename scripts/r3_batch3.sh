@@ -21,5 +21,4 @@ run() {
 }
 run r3_sparse.py 10800 repair
 run r3_nnd.py 10800 u8
-run r3_sparse.py 14400 exact1m
 echo "=== batch3 complete ($(date +%H:%M:%S)) ==="
