@@ -443,7 +443,7 @@ def test_exact_post_repairs_proxy_build(rng):
         ]))
 
     base = build(exactPost=0)
-    rep = build()  # exactPost default ON
+    rep = build(exactPost=1)  # opt-in (measured marginal at 100k)
     g0 = np.asarray(base.method.graph["level0"])
     g1 = np.asarray(rep.method.graph["level0"])
     assert not np.array_equal(g0, g1)  # the pass ran and changed edges

@@ -654,14 +654,16 @@ class Hnsw(Method):
         self.exact_pairs = pm.get("exactPairs", 1, int)
         # exact-space post passes after a sketch-proxy build: re-insert
         # every point through the built graph with the HOST space doing
-        # the TRAVERSAL too (not just refinement) — the quality repair
-        # for bag-of-words corpora where JL sketches can't rank
-        # near-ties (sketch-space exact scan holds only ~86% of the
-        # true top-10; VERDICT r2 item 2). Equivalent to the
-        # reference's exact-distance construction decisions
-        # (hnsw.cc:183-470) applied as repair passes. Needs the exact
+        # the TRAVERSAL too (not just refinement) — merge semantics,
+        # the hnsw.cc:183-470 exact-construction quality applied as a
+        # repair pass. Measured at 100k (r3_sparse.jsonl proxy_ep1 vs
+        # ep0): +0.001-0.012 recall for ~2x build wall — the proxy
+        # build's exactBase/exactPairs refinement already captures
+        # nearly all reachable quality, so this is OPT-IN; for maximum
+        # construction fidelity use sketchDim=0 (full exact waves,
+        # 0.9875 vs 0.9785 @ ef=100 at 100k). Needs the exact
         # corpus-as-query encodings (exactBase/exactPairs keep them).
-        self.exact_post = pm.get("exactPost", 1, int)
+        self.exact_post = pm.get("exactPost", 0, int)
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
