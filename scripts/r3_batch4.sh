@@ -17,12 +17,12 @@ run() {
   echo "=== $1 ${3:-}${4:+ $4} done rc=$? ($(date +%H:%M:%S)) ==="
   sleep 30
 }
+echo "=== bench-warm ($(date +%H:%M:%S)) ==="
+timeout 7200 python bench.py > bench_results/r3_b4_bench.json 2>bench_results/r3_b4_bench.log
+echo "=== bench-warm done rc=$? ($(date +%H:%M:%S)) ==="
 run r3_tree.py 10800
 run r3_range.py 7200
 run r3_sparse_scan.py 7200 1000000 2048
 run r3_sparse_scan.py 7200 1000000 4096
-echo "=== bench-warm ($(date +%H:%M:%S)) ==="
-timeout 7200 python bench.py > bench_results/r3_b4_bench.json 2>bench_results/r3_b4_bench.log
-echo "=== bench-warm done rc=$? ($(date +%H:%M:%S)) ==="
 run r3_sparse.py 14400 exact1m
 echo "=== batch4 complete ($(date +%H:%M:%S)) ==="
