@@ -207,6 +207,30 @@ def main():
         print(f"# hnsw bench skipped: {e}", file=sys.stderr)
     print(json.dumps(result))
     _log_row({"stage": "final", **result, "t": time.time()})
+    if not quick:
+        try:
+            # range smoke (reference seqsearch.cc:109-141): streamed exact
+            # range at the ~19-hit radius, 512-query batch (the shape the
+            # r3_range run warmed; counts validated vs f64 there)
+            from tpu_knn import Index, Params
+
+            x, queries = _dataset(n, 128, 512)
+            ex = Index("l2", Params(dim=128), method="seq_search")
+            ex.add_dense_batch(x)
+            dd, _ = ex.knn_query_batch(queries, 10)
+            radius = float(np.median(np.asarray(dd)[:, 9]))
+            res = ex.range_query_batch(queries, radius)  # compile+warm
+            t0 = time.perf_counter()
+            res = ex.range_query_batch(queries, radius)
+            dt = time.perf_counter() - t0
+            mh = float(np.mean([len(r.ids) for r in res]))
+            print(f"# range(1M, r={radius:.1f}): {512/dt:.0f} qps, "
+                  f"mean_hits {mh:.1f}", file=sys.stderr)
+            _log_row({"stage": "range_1m", "radius": radius,
+                      "qps": round(512 / dt, 1), "mean_hits": round(mh, 1),
+                      "t": time.time()})
+        except Exception as e:
+            print(f"# range bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
