@@ -173,6 +173,50 @@ def test_napp_skip_checking(dense_pair):
     assert (ids[:, 0] >= 0).all()  # candidates returned without re-ranking
 
 
+def test_napp_range_all_candidates_equals_exact(dense_pair):
+    """With minTimes=1 and the full pivot set searched, every object is
+    a candidate (its prefix pivots all lie in the query mask), so the
+    NAPP range result must EQUAL the exact seq_search range scan."""
+    x, q, ed, eids = dense_pair
+    ex = Index("l2", Params(dim=12), method="seq_search")
+    ex.add_dense_batch(x)
+    idx = Index("l2", Params(dim=12), method="napp")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(numPivot=32, numPrefix=8))
+    idx.set_query_time_params(Params(numPrefixSearch=32, minTimes=1))
+    radius = float(np.median(ed[:, 3]))
+    got = idx.range_query_batch(q, radius)
+    want = ex.range_query_batch(q, radius)
+    assert idx.method.dist_comps > 0
+    for g, w in zip(got, want):
+        assert set(g.ids) == set(w.ids)
+        assert (g.dists <= radius + 1e-5).all()
+        # ascending like the exact scan
+        assert (np.diff(g.dists) >= -1e-6).all()
+
+
+def test_napp_range_candidate_filtering(dense_pair):
+    """At the reference defaults the range result is the candidate-set
+    subset of the exact result (pivot_neighb_invindx.cc:783-785): every
+    returned id must be a true in-radius hit, and most hits survive."""
+    x, q, ed, eids = dense_pair
+    ex = Index("l2", Params(dim=12), method="seq_search")
+    ex.add_dense_batch(x)
+    idx = Index("l2", Params(dim=12), method="napp")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(numPivot=32, numPrefix=8))
+    idx.set_query_time_params(Params(numPrefixSearch=8, minTimes=2))
+    radius = float(np.median(ed[:, 3]))
+    got = idx.range_query_batch(q, radius)
+    want = ex.range_query_batch(q, radius)
+    n_true = n_got = 0
+    for g, w in zip(got, want):
+        assert set(g.ids).issubset(set(w.ids))  # no false positives
+        n_true += len(w.ids)
+        n_got += len(g.ids)
+    assert n_true > 0 and n_got >= 0.6 * n_true
+
+
 def test_simple_invindx(rng):
     # sparse corpus; works only with negdotprod_sparse_fast
     def mk(n):

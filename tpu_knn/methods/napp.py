@@ -44,7 +44,7 @@ from ..ops import topk as T
 from ..ops.topk import INF
 from ..utils.logging import log
 from ..utils.rng import np_rng
-from .base import Method
+from .base import Method, stream_range_results
 from .vptree import _gather_xc
 
 #: ScanCount backend: "mxu" one-hots each chunk's pivot prefixes and
@@ -95,50 +95,14 @@ def _napp_knn(
 ):
     n_pad = data.ids.shape[0]
     p = pivot_rows.shape[0]
-    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
-
-    # sparse: densify the query table ONCE, outside the chunk scan.
-    # Relying on "XLA hoists the loop-invariant scatter" inside _dot
-    # does NOT hold in lax.scan bodies: the 1M NAPP profile showed the
-    # [Q, V_pad] table re-materializing per iteration (copy+reshape at
-    # ops/sparse.py:106 ~2.9 s/batch, r2_nprof.jsonl) — same manual
-    # hoist as seq_search._densify_in_jit.
-    from .seq_search import _densify_in_jit
-
-    qenc = _densify_in_jit(space, qenc, data)
-
-    # query -> pivot distances, pivot membership mask
-    xc = _gather_xc(space, data, pivot_rows)
-    dq = space.block(qenc, xc)  # [Q, P]
-    _, qtop = jax.lax.top_k(-dq, min(prefix_search, p))  # [Q, S] pivot indices
-    qmask = jnp.zeros((b, p + 1), bool).at[jnp.arange(b)[:, None], qtop].set(True)
-    qmask_f = qmask.astype(jnp.float32)  # dead column p stays 0
+    # shared prelude: densified queries (the [Q, V_pad] sparse table is
+    # hoisted out of the chunk scan — r2_nprof showed it re-materializing
+    # per iteration otherwise) + the ScanCount chunk_counts closure
+    qenc, b, chunk_counts = _napp_candidate_prelude(
+        space, qenc, data, pivot_rows, prefix, chunk, prefix_search)
     # per-query counts: a 2048-query batch over a 1M corpus can exceed
     # int32 in total; the host sums per-query i32 in int64 (methods/base.py)
     ndist = jnp.full((b,), p, jnp.int32)
-
-    def chunk_counts(ci):
-        """ScanCount: how many of the query's prefix pivots each object of
-        chunk ci shares (pivot_neighb_common.h posting-list union analog).
-        Returns f32[Q, C] exact integer counts (<= numPrefix << 2^24)."""
-        pfx = jax.lax.dynamic_slice_in_dim(prefix, ci * chunk, chunk, 0)  # [C, numPrefix]
-        safe = jnp.where(pfx >= 0, pfx, p)  # pad slots hit the dead column p
-        if SCANCOUNT_BACKEND == "mxu":
-            # one-hot the chunk's prefixes and count on the MXU: the
-            # [Q, C, numPrefix] membership-gather formulation ran on the
-            # VPU and dominated the 1M NAPP query (81 qps; r2_nprof).
-            # No scatter hints (TPU miscompile, ops/sparse._densify).
-            rows = jax.lax.broadcasted_iota(jnp.int32, safe.shape, 0)
-            oneh = jnp.zeros((safe.shape[0], p + 1), jnp.float32).at[
-                rows, safe
-            ].add(1.0, mode="drop")
-            return jnp.einsum(
-                "qp,cp->qc", qmask_f, oneh,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-        hits = qmask[:, safe]  # [Q, C, numPrefix]
-        return jnp.sum(hits, axis=2).astype(jnp.float32)  # [Q, C]
 
     # one scan does candidate generation + re-ranking + the dist-comp
     # accounting (the accounting used to re-run the count pass a second
@@ -169,11 +133,89 @@ def _napp_knn(
     return cd, ids, ndist
 
 
+def _napp_candidate_prelude(space, qenc, data, pivot_rows, prefix,
+                            chunk: int, prefix_search: int):
+    """Shared front of the kNN and range scans: densified queries, the
+    query pivot-membership mask, and a ``chunk_counts(ci)`` closure
+    producing exact integer ScanCount values per corpus chunk."""
+    p = pivot_rows.shape[0]
+    b = next(v.shape[0] for v in qenc.values() if hasattr(v, "ndim") and v.ndim >= 1)
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
+    xc = _gather_xc(space, data, pivot_rows)
+    dq = space.block(qenc, xc)  # [Q, P]
+    _, qtop = jax.lax.top_k(-dq, min(prefix_search, p))  # [Q, S]
+    qmask = jnp.zeros((b, p + 1), bool).at[jnp.arange(b)[:, None], qtop].set(True)
+    qmask_f = qmask.astype(jnp.float32)
+
+    def chunk_counts(ci):
+        pfx = jax.lax.dynamic_slice_in_dim(prefix, ci * chunk, chunk, 0)
+        safe = jnp.where(pfx >= 0, pfx, p)  # pad slots hit the dead column p
+        if SCANCOUNT_BACKEND == "mxu":
+            rows = jax.lax.broadcasted_iota(jnp.int32, safe.shape, 0)
+            oneh = jnp.zeros((safe.shape[0], p + 1), jnp.float32).at[
+                rows, safe
+            ].add(1.0, mode="drop")
+            return jnp.einsum(
+                "qp,cp->qc", qmask_f, oneh,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        hits = qmask[:, safe]  # [Q, C, numPrefix]
+        return jnp.sum(hits, axis=2).astype(jnp.float32)
+
+    return qenc, b, chunk_counts
+
+
+@partial(jax.jit, static_argnames=("space", "chunk", "min_times", "prefix_search"))
+def _napp_range_counts(space, qenc, data, pivot_rows, prefix, radius,
+                       chunk: int, min_times: int, prefix_search: int):
+    """Pass 1 of the NAPP range query: per-query candidate-hit counts
+    within ``radius`` (i32[Q]) plus the dist-comp tally. The reference
+    answers range queries through the same candidate-generation + exact
+    check path as kNN (pivot_neighb_invindx.cc:783-785: GenSearch(query,
+    0) -> CheckAndAddToResult with real distances)."""
+    qenc, b, chunk_counts = _napp_candidate_prelude(
+        space, qenc, data, pivot_rows, prefix, chunk, prefix_search)
+    num_chunks = data.ids.shape[0] // chunk
+
+    def step(carry, ci):
+        hits, nacc = carry
+        cand = chunk_counts(ci) >= min_times
+        d = jnp.where(cand, space.block(qenc, space.slice_data(data, ci * chunk, chunk)), INF)
+        hits = hits + jnp.sum((d <= radius).astype(jnp.int32), axis=1)
+        nacc = nacc + jnp.sum(cand, axis=1, dtype=jnp.int32)
+        return (hits, nacc), None
+
+    init = (jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32))
+    (hits, ncand), _ = jax.lax.scan(step, init, jnp.arange(num_chunks))
+    return hits, ncand + pivot_rows.shape[0]
+
+
+@partial(jax.jit, static_argnames=("space", "cap", "chunk", "min_times", "prefix_search"))
+def _napp_range_collect(space, qenc, data, pivot_rows, prefix, radius,
+                        cap: int, chunk: int, min_times: int, prefix_search: int):
+    """Pass 2: ascending ([Q, cap] dists, positions) of candidate hits
+    within ``radius`` — streaming smallest-cap merge, O(Q*(cap+chunk))
+    device memory like the seq_search range scan."""
+    qenc, b, chunk_counts = _napp_candidate_prelude(
+        space, qenc, data, pivot_rows, prefix, chunk, prefix_search)
+    num_chunks = data.ids.shape[0] // chunk
+
+    def chunk_dists(ci):
+        cand = chunk_counts(ci) >= min_times
+        d = jnp.where(cand, space.block(qenc, space.slice_data(data, ci * chunk, chunk)), INF)
+        return jnp.where(d <= radius, d, INF)
+
+    return T.streaming_smallest_k(chunk_dists, num_chunks, chunk, b, cap)
+
+
 @register_method("napp")
 @register_method("pivot_neighb_invindx")
 class Napp(Method):
     name = "napp"
-    supports_range = False
+    supports_range = True
 
     def __init__(self, space, params: Params | None = None):
         super().__init__(space, params)
@@ -301,6 +343,33 @@ class Napp(Method):
         )
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
+
+    def range(self, points, radius: float):
+        """Approximate range search through the kNN candidate pipeline
+        (reference parity: pivot_neighb_invindx.cc:783-785 routes range
+        queries through GenSearch(query, 0) — ScanCount candidates with
+        >= minTimes shared prefix pivots, then an exact radius check).
+        Like the reference's, results within the radius that never make
+        the candidate set are missed; seq_search.range is the exact
+        oracle."""
+        if self._prefix is None:
+            raise IndexNotBuiltError("napp: index not built")
+        qenc = self.space.encode_queries(points)
+        pfx_s = min(self.num_prefix_search, self._pivot_rows.shape[0])
+        counts, nd = _napp_range_counts(
+            self.space, qenc, self.data, self._pivot_rows, self._prefix,
+            float(radius), self._chunk, self.min_times, pfx_s,
+        )
+        counts = np.asarray(counts)
+        self._add_dist_comps(nd)
+        return stream_range_results(
+            counts,
+            self.data,
+            lambda cap: _napp_range_collect(
+                self.space, qenc, self.data, self._pivot_rows, self._prefix,
+                float(radius), cap, self._chunk, self.min_times, pfx_s,
+            ),
+        )
 
     # ---------------- persistence ----------------
 
