@@ -141,17 +141,31 @@ def test_9_thread_pool_and_metadata():
     assert idx.data_qty() == 0
 
 
-def test_load_data_false_raises(tmp_path, rng):
-    """load_data=False produced an index that silently answered nothing
-    (the graph references corpus rows; methods re-encode the store on
-    restore) — it must raise instead (review-confirmed, round 2)."""
+def test_load_data_false_index_only(tmp_path, rng):
+    """Index-only load (nmslib_c.cpp:1399-1456): load_data=False reads
+    only the .idx.npz — the format-v2 artifact embeds the data arrays,
+    like the reference's optimized HNSW blob embeds its vectors — and
+    answers identically to the full two-artifact load. Earlier formats
+    restored against an empty store and silently answered nothing
+    (review-confirmed, round 2); v1 artifacts must still raise."""
+    import os
+
     import pytest
 
     x = rng.standard_normal((64, 8)).astype(np.float32)
     idx = Index("l2", Params(dim=8), method="hnsw")
     idx.add_dense_batch(x)
     idx.build_index(Params(M=4, efConstruction=10, waveSize=16))
+    d0, i0 = idx.knn_query_batch(x[:16], 5)
     p = str(tmp_path / "ix")
+    idx.save(p, save_data=False)  # one artifact only
+    assert not os.path.exists(p + ".dat.npz")
+    idx2 = Index.load(p, load_data=False)
+    d1, i1 = idx2.knn_query_batch(x[:16], 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+    # with the .dat saved, both load modes agree
     idx.save(p)
-    with pytest.raises(Exception, match="load_data"):
-        Index.load(p, load_data=False)
+    idx3 = Index.load(p, load_data=True)
+    _, i3 = idx3.knn_query_batch(x[:16], 5)
+    np.testing.assert_array_equal(i0, i3)

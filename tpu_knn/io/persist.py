@@ -6,6 +6,15 @@ WriteObjectVectorBinData) and ``<path>`` (method index blob)
 two-artifact model as ``<path>.dat.npz`` + ``<path>.idx.npz``, but fix
 the reference's load quirk (space/method hardcoded to l2+hnsw,
 nmslib_c.cpp:1421-1429) by storing the full creation header.
+
+Index-only load (``load_data=False``, nmslib_c.cpp:1399-1456): the
+reference can load without re-reading the ``.dat`` because its
+optimized HNSW blob embeds the vector payloads in the flat node layout
+(hnsw.cc:353-419). The TPU-native equivalent embeds the (compact raw)
+data arrays in ``.idx.npz`` (format v2), so ``load_data=False`` reads
+one artifact and restore re-encodes to the device exactly as normal —
+methods never see a data-less store, which would break their
+row-indexed graph/tree state.
 """
 
 from __future__ import annotations
@@ -18,7 +27,7 @@ from ..core.dataset import DataKind, DataStore, DistKind
 from ..core.errors import DataIOError
 from ..core.params import Params
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: data arrays embedded in .idx.npz (index-only load)
 
 
 def _store_to_arrays(store: DataStore) -> dict[str, np.ndarray]:
@@ -101,13 +110,18 @@ def save_index(index, path: str, save_data: bool = True) -> None:
     }
     state = index.method.state_arrays() if index.method is not None else {}
     try:
+        data_arrays = _store_to_arrays(index.store)
         np.savez(
             path + ".idx.npz",
             __header__=np.frombuffer(json.dumps(header).encode(), np.uint8),
+            # the index artifact is self-sufficient (reference parity:
+            # the optimized HNSW blob embeds its vectors) so
+            # load_index(..., load_data=False) never opens the .dat
+            **{f"data_{k}": v for k, v in data_arrays.items()},
             **{f"state_{k}": np.asarray(v) for k, v in state.items()},
         )
         if save_data:
-            np.savez(path + ".dat.npz", **_store_to_arrays(index.store))
+            np.savez(path + ".dat.npz", **data_arrays)
     except OSError as e:
         raise DataIOError(f"failed to save index to {path}: {e}")
 
@@ -130,20 +144,25 @@ def load_index(path: str, load_data: bool = True):
     )
     index._index_params = Params(header["index_params"])
     if not load_data:
-        # every method re-encodes the store on restore (the graph holds
-        # corpus ROW indices, not vectors) — restoring against an empty
-        # store would "load" an index that silently answers nothing
-        from ..core.errors import InvalidArgumentError
-
-        raise InvalidArgumentError(
-            "load_data=False is unsupported: the index state references "
-            "corpus rows and methods re-encode the store on restore "
-            "(two-artifact model, .idx.npz + .dat.npz)"
-        )
-    try:
-        dat = np.load(path + ".dat.npz")
-    except OSError as e:
-        raise DataIOError(f"failed to load index data from {path}: {e}")
+        # index-only load: the data arrays embedded in .idx.npz (format
+        # v2) stand in for the .dat (reference: nmslib_c.cpp:1399-1456
+        # loads with load_data=0 because the HNSW blob embeds vectors)
+        if header["format_version"] < 2:
+            raise DataIOError(
+                f"{path}.idx.npz is a format-v{header['format_version']} "
+                "artifact without embedded data; load_data=False needs a "
+                "v2 save (re-save the index) or load_data=True"
+            )
+        dat = {
+            k[len("data_") :]: idx_npz[k]
+            for k in idx_npz.files
+            if k.startswith("data_")
+        }
+    else:
+        try:
+            dat = np.load(path + ".dat.npz")
+        except OSError as e:
+            raise DataIOError(f"failed to load index data from {path}: {e}")
     index.store = _store_from_arrays(index.data_type, dat)
     state = {
         k[len("state_") :]: idx_npz[k] for k in idx_npz.files if k.startswith("state_")

@@ -170,6 +170,7 @@ def make_wave_step(
     exact_space=None,
     exact_pairs: bool = False,
     exact_base: bool = True,
+    exact_shrink: bool = False,
     use_cstore: bool = False,
     merge_forward: bool = False,
 ):
@@ -326,7 +327,17 @@ def make_wave_step(
             selx = jnp.where(dup, NEG1, sel)
             cand = jnp.concatenate([old, selx], axis=1)  # [w, cap+m]
             cand = jnp.where(cand == wave_ids[:, None], NEG1, cand)
-            base_d = G.score_rows(space, qe, corpus, cand)
+            if exact_shrink and exact_space is not None and ecorpus is not None:
+                # exactShrink: prune decisions of the merge shrink run in
+                # the exact host space (level_candidates' exact_pairs
+                # branch mirrored; ADVICE r3 — with proxy scoring, near-
+                # tied shrink decisions fall back to the JL-noise regime
+                # exactPairs was added to fix)
+                eqe_f = _gather_qenc(eqenc_all, wave_ids, n_total)
+                eqe_f = G.densify_queries(exact_space, eqe_f, ecorpus)
+                base_d = G.score_rows(exact_space, eqe_f, ecorpus, cand)
+            else:
+                base_d = G.score_rows(space, qe, corpus, cand)
             old_deg = jnp.sum(old >= 0, axis=1)
             add_cnt = jnp.sum(selx >= 0, axis=1)
             overflow = old_deg + add_cnt > cap
@@ -335,6 +346,11 @@ def make_wave_step(
             if selection == "none":
                 validr = sd < INF
                 keep = validr & (jnp.cumsum(validr, axis=1) <= cap)
+            elif exact_shrink and exact_space is not None and ecorpus is not None:
+                pair_d = _score_pairs(exact_space, eqenc_all, n_total, ecorpus, si, si)
+                keep = G.select_neighbors_heuristic(
+                    sd, pair_d, cap, exact=selection != "rng"
+                )
             else:
                 pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
                 keep = G.select_neighbors_heuristic(
@@ -379,8 +395,16 @@ def make_wave_step(
             dup_old = jnp.any(new_c[:, :, None] == old[:, None, :], axis=2)
             new_c = jnp.where(dup_old, NEG1, new_c)
             cand = jnp.concatenate([old, new_c], axis=1)  # [P, cap+gcap]
-            qe = _gather_qenc(qenc_all, base, n_total)
-            base_d = G.score_rows(space, qe, corpus, cand)
+            if exact_shrink and exact_space is not None and ecorpus is not None:
+                # exactShrink: the reverse shrink competes stored edges
+                # against the insert in the exact host space (see the
+                # scatter_forward merge-path comment)
+                qe = _gather_qenc(eqenc_all, base, n_total)
+                qe = G.densify_queries(exact_space, qe, ecorpus)
+                base_d = G.score_rows(exact_space, qe, ecorpus, cand)
+            else:
+                qe = _gather_qenc(qenc_all, base, n_total)
+                base_d = G.score_rows(space, qe, corpus, cand)
             old_deg = jnp.sum(old >= 0, axis=1)
             add_cnt = jnp.sum(new_c >= 0, axis=1)
             overflow = old_deg + add_cnt > cap
@@ -395,6 +419,11 @@ def make_wave_step(
             if selection == "none":
                 validr = sd < INF
                 keep = validr & (jnp.cumsum(validr, axis=1) <= cap)
+            elif exact_shrink and exact_space is not None and ecorpus is not None:
+                pair_d = _score_pairs(exact_space, eqenc_all, n_total, ecorpus, si, si)
+                keep = G.select_neighbors_heuristic(
+                    sd, pair_d, cap, exact=selection != "rng"
+                )
             else:
                 pair_d = _score_pairs(space, qenc_all, n_total, corpus, si, si)
                 keep = G.select_neighbors_heuristic(
@@ -664,6 +693,14 @@ class Hnsw(Method):
         # 0.9875 vs 0.9785 @ ef=100 at 100k). Needs the exact
         # corpus-as-query encodings (exactBase/exactPairs keep them).
         self.exact_post = pm.get("exactPost", 0, int)
+        # route the merge/reverse SHRINK decisions (scatter_forward's
+        # post-pass merge + reverse_update) through the exact host space
+        # too — without it those prune decisions stay on proxy scores
+        # even when exactBase/exactPairs refine the forward selection
+        # (the pre-existing asymmetry, ADVICE r3). Opt-in pending an
+        # on-chip recall/build A/B: it adds a per-wave exact gram matrix
+        # in the reverse path (the exactPairs cost class, paid again).
+        self.exact_shrink = pm.get("exactShrink", 0, int)
         self.nbr_store_dtype = pm.get("nbrStoreDtype", "bfloat16", str)
         if self.nbr_store_dtype not in ("bfloat16", "int8"):
             raise ValueError(f"bad nbrStoreDtype {self.nbr_store_dtype!r}")
@@ -973,6 +1010,7 @@ class Hnsw(Method):
             # them it would silently fall back to proxy pair scores
             if not skip_construction and (
                 self.exact_base or self.exact_pairs or self.exact_post
+                or self.exact_shrink
             ):
                 self._exact_qenc_all = self.space.encode_queries(
                     self.space.store_as_query_points(store)[self.order]
@@ -1195,6 +1233,7 @@ class Hnsw(Method):
                 exact_space=self.space if self._exact_qenc_all is not None else None,
                 exact_pairs=bool(self.exact_pairs),
                 exact_base=bool(self.exact_base),
+                exact_shrink=bool(self.exact_shrink),
                 use_cstore=use_cstore,
                 merge_forward=merge_forward,
             ),

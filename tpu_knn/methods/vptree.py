@@ -223,11 +223,14 @@ def _vptree_leaf_bounds(dpiv, medians, pruner, depth: int):
     cost ``a*diff**e`` at every level where the leaf sits on the far
     side of the median. The visit rule of searchoracle.h:163-186 is
     exactly ``bound <= r`` (prune iff r < a*diff**e at some crossing),
-    and ascending bound is the reference's pruner-guided recursion
-    order (vptree.cc:417-470 visits the query's side first, so its
-    MaxLeavesToVisit budget goes to best-bound subtrees — the round-2
-    index-order cap scored 0.26-0.40 recall at alpha=1 because it
-    spent the budget left-to-right instead)."""
+    and ascending bound APPROXIMATES (and likely dominates) the
+    reference's recursion-order budget: vptree.cc:417-470 recurses
+    depth-first into the query's side first, so it exhausts the home
+    subtree's reachable leaves before any far-root subtree even when a
+    far leaf has a lower crossing bound — globally best-bound spending
+    is not that order, but it selects leaves at least as promising per
+    unit budget (the round-2 index-order cap scored 0.26-0.40 recall at
+    alpha=1 because it spent the budget left-to-right instead)."""
     b = dpiv.shape[0]
     aL, eL, aR, eR = pruner[0], pruner[1], pruner[2], pruner[3]
     prio = jnp.zeros((b, 1), jnp.float32)

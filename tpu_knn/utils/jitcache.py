@@ -31,7 +31,10 @@ import os
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _DEFAULT_DIR = (
     os.path.join(_REPO_ROOT, ".jaxcache")
-    if os.access(_REPO_ROOT, os.W_OK)
+    # source-checkout marker: an installed (site-packages) copy must not
+    # drop .jaxcache into the install tree's parent just because it is
+    # writable (ADVICE r3) — only a git checkout gets the repo-local dir
+    if os.access(_REPO_ROOT, os.W_OK) and os.path.isdir(os.path.join(_REPO_ROOT, ".git"))
     else os.path.join(os.path.expanduser("~"), ".cache", "tpu_knn", "jaxcache")
 )
 
