@@ -207,7 +207,11 @@ def main():
         # 0.968-0.980 measured vs 16.1k store-off). buildAlgo=auto
         # routes 1M to NN-descent. --quick keeps the 100k efC=200
         # defaults for cross-round comparability.
-        efs = (10, 14, 20, 50) if not quick else (10, 14, 20, 50, 100, 200)
+        # ef=11..13: the NND+int8-store graph's recall cliff sits between
+        # ef=10 (0.933) and ef=14 (0.980) at 1M — the best qps point at
+        # recall>=0.95 lives inside that gap (r4_warm2: ef=14 20.0k @
+        # 0.9803 while ef=10 runs 23.7k)
+        efs = (10, 11, 12, 13, 14, 20, 50) if not quick else (10, 14, 20, 50, 100, 200)
         bp = None if quick else Params1M()
         build_s, rows = bench_hnsw(n=n, efs=efs, gold_ids=gold_ids, build_params=bp)
         tag = f"hnsw({n // 1000}k, shipped defaults M=16)"

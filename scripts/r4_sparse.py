@@ -1,0 +1,231 @@
+"""Round-4 sparse measurements (VERDICT r3 items 3, 4, 5 + exactShrink).
+
+Stages (argv[1]):
+  shrink    — exactShrink A/B at 100k sparse (proxy defaults vs
+              exactShrink=1): does routing the merge/reverse shrink
+              through the exact space lift recall, and at what build
+              cost? (ADVICE r3; CPU toy: 0.660 -> 0.704.)
+  taat      — the posting-block TAAT engine (ops/inverted.py) vs the
+              blocked scan at 100k and 1M, nq in {1, 32, 512}: the
+              engine owns the small-batch regime (one query touches
+              ~85k of 64M postings, r4_taat_stats.py); nq=512 is the
+              predicted measured-negative. Correctness vs host-f64
+              gold at every point.
+  napp1m    — NAPP 1M pivot scaling (numPivot 512->2048): candidate
+              counts shrink with more pivots; target >=0.95 recall at
+              >800 qps (2x the 431-qps exact-scan wall) — VERDICT
+              item 4's sparse-1M ANN number.
+  waveprof  — profile the exact sparse wave build (sketchDim=0) at
+              50k: device-time attribution of the construction beam
+              (VERDICT item 5 asks where the 7ms/node goes).
+
+Durable outputs: bench_results/r4_sparse.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+LOG = os.path.join(REPO, "bench_results", "r4_sparse.jsonl")
+GOLD_DIR = os.environ.get("TPU_KNN_DATA_CACHE", "/tmp/tpu_knn_cache")
+K = 10
+
+
+def emit(**kw):
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    kw["t"] = round(time.time(), 1)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(json.dumps(kw), flush=True)
+
+
+def sync_graph(idx):
+    import jax.numpy as jnp
+
+    float(jnp.sum(idx.method.graph["level0"]))
+
+
+def f64_gold(pts, n, nq, vocab, name):
+    from sparse_gold import host_f64_gold
+
+    os.makedirs(GOLD_DIR, exist_ok=True)
+    path = os.path.join(GOLD_DIR, name)
+    if os.path.exists(path):
+        return np.load(path)["ids"]
+    t0 = time.perf_counter()
+    gold = host_f64_gold(pts[:n], pts[n : n + nq], k=K, vocab=vocab)
+    emit(event="gold_built", name=name, wall_s=round(time.perf_counter() - t0, 1))
+    np.savez(path, ids=gold)
+    return gold
+
+
+def recall_vs(ids, gold):
+    return float(np.mean([
+        len(set(a[a >= 0]) & set(b)) / K for a, b in zip(np.asarray(ids), gold)
+    ]))
+
+
+def stage_shrink():
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    nq, n = 512, 100_000
+    pts = sparse_like(n + nq, vocab=30_000, nnz=64, seed=0)
+    gold = f64_gold(pts, n, nq, 30_000, "gold_sparse100000_v30k.npz")
+    for tag, bp in (
+        ("shrink0", dict(M=16, efConstruction=100, waveSize=1024)),
+        ("shrink1", dict(M=16, efConstruction=100, waveSize=1024, exactShrink=1)),
+    ):
+        t0 = time.perf_counter()
+        idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+        idx.add_sparse_batch(pts[:n])
+        idx.build_index(Params(**bp))
+        sync_graph(idx)
+        bs = round(time.perf_counter() - t0, 1)
+        emit(stage="shrink", tag=tag, event="build_ok", build_s=bs)
+        for ef in (20, 50, 100):
+            idx.set_query_time_params(Params(efSearch=ef))
+            idx.knn_query_batch(pts[n:], K)
+            t0 = time.perf_counter()
+            _, ids = idx.knn_query_batch(pts[n:], K)
+            dt = time.perf_counter() - t0
+            emit(stage="shrink", tag=tag, ef=ef, qps=round(nq / dt, 1),
+                 recall_at_10=round(recall_vs(ids, gold), 4))
+        del idx
+
+
+def stage_taat():
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+    from tpu_knn.methods import inv_index as II
+
+    for n, vocab in ((100_000, 30_000), (1_000_000, 60_000)):
+        pts = sparse_like(n + 2048, vocab=vocab, nnz=64, seed=0)
+        # negdotprod ranks by raw dot (not the cosine gold): host-f64
+        # gold at 100k; at 1M the check is TAAT-vs-scan id agreement
+        # (two independent formulations), the f64 slice being CPU-
+        # prohibitive at this scale
+        gold = None
+        if n <= 100_000:
+            from sparse_gold import host_f64_gold
+
+            path = os.path.join(GOLD_DIR, f"gold_negdot_{n}_v{vocab//1000}k.npz")
+            if os.path.exists(path):
+                gold = np.load(path)["ids"]
+            else:
+                t0 = time.perf_counter()
+                gold = host_f64_gold(pts[:n], pts[n : n + 512], k=K,
+                                     vocab=vocab, space="negdot")
+                emit(event="gold_built", name=path,
+                     wall_s=round(time.perf_counter() - t0, 1))
+                np.savez(path, ids=gold)
+        scan_ids = {}
+        for backend in ("taat", "scan"):
+            II.INVINDX_BACKEND = backend
+            idx = Index("negdotprod_sparse_fast", method="simple_invindx",
+                        data_type=DataKind.SPARSE)
+            idx.add_sparse_batch(pts[:n])
+            t0 = time.perf_counter()
+            idx.build_index()
+            emit(stage="taat", n=n, backend=backend, event="build_ok",
+                 build_s=round(time.perf_counter() - t0, 1))
+            for nq in (1, 32, 512):
+                qs = pts[n : n + nq]
+                idx.knn_query_batch(qs, K)  # compile + warm this shape
+                reps = 20 if nq == 1 else (5 if nq == 32 else 1)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    _, ids = idx.knn_query_batch(qs, K)
+                dt = (time.perf_counter() - t0) / reps
+                row = dict(stage="taat", n=n, backend=backend, nq=nq,
+                           qps=round(nq / dt, 2),
+                           ms_per_batch=round(dt * 1e3, 1))
+                if gold is not None:
+                    row["recall_vs_f64"] = round(recall_vs(ids, gold[:nq]), 4)
+                if backend == "scan":
+                    agree = recall_vs(ids, np.asarray(scan_ids[nq]))
+                    row["id_agreement_vs_taat"] = round(agree, 4)
+                else:
+                    scan_ids[nq] = ids
+                emit(**row)
+            del idx
+
+
+def stage_napp1m():
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    nq, n, vocab = 512, 1_000_000, 60_000
+    pts = sparse_like(n + nq, vocab=vocab, nnz=64, seed=0)
+    gold = f64_gold(pts, n, nq, vocab, "gold_sparse1m_v60k.npz")
+    for npiv, npfx in ((1024, 32), (2048, 32), (2048, 64)):
+        t0 = time.perf_counter()
+        idx = Index("cosinesimil_sparse", method="napp", data_type=DataKind.SPARSE)
+        idx.add_sparse_batch(pts[:n])
+        idx.build_index(Params(numPivot=npiv, numPrefix=npfx))
+        emit(stage="napp1m", numPivot=npiv, numPrefix=npfx, event="build_ok",
+             build_s=round(time.perf_counter() - t0, 1))
+        for nps, mt in ((16, 2), (32, 2), (32, 3), (npfx, 3)):
+            if nps > npfx:
+                continue
+            idx.set_query_time_params(Params(numPrefixSearch=nps, minTimes=mt))
+            idx.knn_query_batch(pts[n:], K)
+            idx.method.dist_comps = 0
+            t0 = time.perf_counter()
+            _, ids = idx.knn_query_batch(pts[n:], K)
+            dt = time.perf_counter() - t0
+            emit(stage="napp1m", numPivot=npiv, numPrefix=npfx,
+                 numPrefixSearch=nps, minTimes=mt,
+                 qps=round(nq / dt, 1), recall_at_10=round(recall_vs(ids, gold), 4),
+                 cand_per_q=int(idx.method.dist_comps / nq))
+        del idx
+
+
+def stage_waveprof():
+    import jax
+
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    n, nq = 50_000, 512
+    pts = sparse_like(100_000 + nq, vocab=30_000, nnz=64, seed=0)
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:n])
+    # warm compile: a first small build with the same waveSize would
+    # recompile at a different n; instead accept the compile inside the
+    # trace window and read only steady-state wave steps
+    tdir = "/tmp/r4_waveprof"
+    t0 = time.perf_counter()
+    with jax.profiler.trace(tdir):
+        idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
+                               sketchDim=0))
+        sync_graph(idx)
+    emit(stage="waveprof", n=n, event="build_ok",
+         build_s=round(time.perf_counter() - t0, 1), trace_dir=tdir)
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "shrink"
+    from tpu_knn.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    emit(event="start", stage=stage)
+    try:
+        {"shrink": stage_shrink, "taat": stage_taat,
+         "napp1m": stage_napp1m, "waveprof": stage_waveprof}[stage]()
+        emit(event="done", stage=stage)
+    except Exception as e:
+        emit(event="error", stage=stage, error=repr(e),
+             tb=traceback.format_exc()[-2000:])
+        raise
+
+
+if __name__ == "__main__":
+    main()

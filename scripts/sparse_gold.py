@@ -14,9 +14,10 @@ measurement cycle. The current device scan is exact (max |dist - f64|
 import numpy as np
 
 
-def host_f64_gold(corpus, queries, k=10, vocab=30_000):
-    """Exact top-k (1-based sparse object ids) under cosine distance,
-    computed on host in float64. `corpus`/`queries` are sequences of
+def host_f64_gold(corpus, queries, k=10, vocab=30_000, space="cosine"):
+    """Exact top-k (1-based sparse object ids) under cosine distance
+    (space="cosine") or negated raw dot (space="negdot"), computed on
+    host in float64. `corpus`/`queries` are sequences of
     (term_ids_1based, values) pairs as produced by eval.datasets
     sparse_like."""
     n = len(corpus)
@@ -35,6 +36,9 @@ def host_f64_gold(corpus, queries, k=10, vocab=30_000):
         qd[np.asarray(c) - 1] = v
         qn = np.sqrt((np.asarray(v, np.float64) ** 2).sum())
         dots = (np.where(cmask, qd[ccol], 0.0) * cval).sum(1)
-        dist = 1.0 - dots / np.maximum(qn * cnorm, 1e-30)
+        if space == "negdot":
+            dist = -dots
+        else:
+            dist = 1.0 - dots / np.maximum(qn * cnorm, 1e-30)
         out[qi] = np.argsort(dist, kind="stable")[:k]
     return out + 1  # sparse object ids are 1-based (core/dataset.py:116)

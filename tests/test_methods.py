@@ -117,6 +117,25 @@ def test_vptree_autotune(dense_pair):
     assert _recall(ids, eids) >= 0.9
 
 
+def test_vptree_autotune_exp_grid(dense_pair):
+    """minExp/maxExp extend the autotuner to the exponent grid
+    (searchoracle.cc:212 iterates ce = minExp..maxExp around the alpha
+    optimization; defaults 1/1). The tuned config must meet the target
+    recall and the chosen exponent must come from the grid."""
+    x, q, ed, eids = dense_pair
+    idx = Index("l2", Params(dim=12), method="vptree")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(bucketSize=20, desiredRecall=0.9, tuneK=5,
+                           tuneQty=30, minExp=1, maxExp=3))
+    m = idx.method
+    assert m.exp_left in (1.0, 2.0, 3.0) and m.exp_right == m.exp_left
+    d, ids = idx.knn_query_batch(q, 5)
+    assert _recall(ids, eids) >= 0.85
+    with pytest.raises(ValueError):
+        Index("l2", Params(dim=12), method="vptree").build_index(
+            Params(minExp=3, maxExp=2))
+
+
 def test_napp(dense_pair):
     x, q, ed, eids = dense_pair
     idx = Index("l2", Params(dim=12), method="napp")
@@ -245,6 +264,57 @@ def test_simple_invindx(rng):
         bad.build_index()
     with pytest.raises(SpaceIncompatibleError):
         idx.range_query(qs[0], 1.0)
+
+
+def test_simple_invindx_taat_matches_scan(rng):
+    """The posting-block TAAT engine (ops/inverted.py, default backend)
+    must agree with the blocked-scan formulation on every touched doc:
+    same ids, same scores to f32 accumulation tolerance, same DAAT
+    touched-doc accounting. Docs sharing no term with the query never
+    appear under TAAT (reference DAAT heap semantics)."""
+    from tpu_knn.methods import inv_index as II
+
+    def mk(n, lo=1, hi=60):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(2, 10))
+            ids = np.sort(rng.choice(np.arange(lo, hi), size=nnz, replace=False))
+            out.append((ids, rng.random(nnz).astype(np.float32)))
+        return out
+
+    xs, qs = mk(80), mk(12)
+    out = {}
+    orig = II.INVINDX_BACKEND
+    try:
+        for backend in ("taat", "scan"):
+            II.INVINDX_BACKEND = backend
+            idx = Index("negdotprod_sparse_fast", method="simple_invindx",
+                        data_type=DataKind.SPARSE)
+            idx.add_sparse_batch(xs)
+            d, ids = idx.knn_query_batch(qs, 5)
+            out[backend] = (d, ids, idx.method.dist_comps)
+    finally:
+        II.INVINDX_BACKEND = orig
+    dt, it, ndt = out["taat"]
+    ds, is_, nds = out["scan"]
+    both = (it >= 0) & (is_ >= 0)
+    np.testing.assert_array_equal(it[both], is_[both])
+    np.testing.assert_allclose(dt[both], ds[both], rtol=1e-5, atol=1e-6)
+    assert ndt == nds  # identical DAAT touched counts
+
+    # a query over a DISJOINT vocabulary touches nothing: TAAT returns
+    # only -1 ids (the scan would fill with zero-score docs)
+    try:
+        II.INVINDX_BACKEND = "taat"
+        idx = Index("negdotprod_sparse_fast", method="simple_invindx",
+                    data_type=DataKind.SPARSE)
+        idx.add_sparse_batch(xs)
+        far_q = [(np.asarray([200, 201], np.int64),
+                  np.asarray([1.0, 1.0], np.float32))]
+        d, ids = idx.knn_query_batch(far_q, 5)
+        assert (ids == -1).all() and np.isinf(d).all()
+    finally:
+        II.INVINDX_BACKEND = orig
 
 
 def test_dummy_method(rng):

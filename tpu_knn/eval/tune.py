@@ -27,9 +27,18 @@ def tune_vptree_alphas(
     desired_recall: float = 0.9,
     sample: int = 200,
     alpha_grid: list[float] | None = None,
+    exp_grid: list[int] | None = None,
 ) -> dict:
-    """Pick (alphaLeft, alphaRight) maximizing pruning subject to
-    recall >= desired_recall on sampled self-queries."""
+    """Pick (alphaLeft/Right, expLeft/Right) maximizing pruning subject
+    to recall >= desired_recall on sampled self-queries.
+
+    Exp grid parity (searchoracle.cc:212 ``for ce = minExp..maxExp``
+    runs the alpha optimization once per exponent and keeps the best
+    improvement): for each exponent we walk alpha upward while recall
+    holds, then keep the (exp, alpha) pair with the fewest distance
+    computations among passing configs. The reference's defaults are
+    minExp=maxExp=1 (searchoracle.h:50-51), so the default grid is the
+    single exponent 1."""
     from ..eval.experiments import _query_points
 
     n = len(store)
@@ -42,28 +51,46 @@ def tune_vptree_alphas(
 
     if alpha_grid is None:
         alpha_grid = [2.0**i for i in range(0, 16)]
+    if exp_grid is None:
+        exp_grid = [1]
 
-    best = {"alphaLeft": 1.0, "alphaRight": 1.0, "recall": 1.0, "dist_comps": None}
-    old_l, old_r, old_ml = method.alpha_left, method.alpha_right, method.max_leaves
+    best = None
+    old = (method.alpha_left, method.alpha_right, method.exp_left,
+           method.exp_right, method.max_leaves)
     try:
-        for a in alpha_grid:
-            method.alpha_left = a
-            method.alpha_right = a
-            method.dist_comps = 0
-            ad, aids = method.knn(queries, k)
-            m = per_query_metrics(ex_d, ex_ids, ad, aids, check_invariant=False)
-            rec = float(np.mean(m["recall"]))
-            if rec >= desired_recall:
-                best = {
-                    "alphaLeft": a,
-                    "alphaRight": a,
-                    "recall": rec,
-                    "dist_comps": method.dist_comps,
-                }
-            else:
-                break
+        for e in exp_grid:
+            method.exp_left = method.exp_right = float(e)
+            found = None
+            for a in alpha_grid:
+                method.alpha_left = a
+                method.alpha_right = a
+                method.dist_comps = 0
+                ad, aids = method.knn(queries, k)
+                m = per_query_metrics(ex_d, ex_ids, ad, aids, check_invariant=False)
+                rec = float(np.mean(m["recall"]))
+                if rec >= desired_recall:
+                    found = {
+                        "alphaLeft": a,
+                        "alphaRight": a,
+                        "expLeft": float(e),
+                        "expRight": float(e),
+                        "recall": rec,
+                        "dist_comps": method.dist_comps,
+                    }
+                else:
+                    break
+            if found is not None and (
+                best is None or found["dist_comps"] < best["dist_comps"]
+            ):
+                best = found
     finally:
-        method.alpha_left, method.alpha_right, method.max_leaves = old_l, old_r, old_ml
+        (method.alpha_left, method.alpha_right, method.exp_left,
+         method.exp_right, method.max_leaves) = old
+    if best is None:
+        # nothing met the target even at alpha=1 on some exponent: fall
+        # back to the exact setting (reference reports best-effort too)
+        best = {"alphaLeft": 1.0, "alphaRight": 1.0, "expLeft": 1.0,
+                "expRight": 1.0, "recall": 1.0, "dist_comps": None}
     log("INFO", f"tune_vptree_alphas -> {best}")
     return best
 

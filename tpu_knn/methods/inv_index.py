@@ -113,11 +113,17 @@ class SimpleInvIndex(Method):
                     qhost["qcol"], qhost["qval"], self._inv)
                 # top-k merges need k <= chunk lanes; clamp like the scan
                 kk = min(k, self._inv.n_rows)
+                # the accumulator top-k pass reads [chunk, nq] score
+                # slices (no [Q, C, nnz] blocks like the scan), so its
+                # chunk can be much wider than preferred_chunk — pick
+                # the widest divisor of the padded row count
+                tchunk = next(c for c in (8192, 4096, 2048, 1024, 512, 256, 8)
+                              if self._inv.n_rows % c == 0
+                              and c <= self._inv.n_rows)
                 d, ids, nd = IV.taat_topk(
                     self._inv.pdoc_blocks, self._inv.pval_blocks,
                     jnp.asarray(block_ids), jnp.asarray(ublock),
-                    jnp.asarray(w), self.data.ids, kk,
-                    min(self._chunk * 32, self._inv.n_rows),
+                    jnp.asarray(w), self.data.ids, kk, tchunk,
                 )
                 self._add_dist_comps(nd)
                 d, ids = np.asarray(d), np.asarray(ids)

@@ -407,8 +407,12 @@ class VPTree(Method):
         self.tune_k = pm.get("tuneK", 0, int)
         self.tune_r = pm.get("tuneR", 0.0, float)
         self.tune_qty = pm.get("tuneQty", 200, int)
-        pm.get("minExp", 1, int)
-        pm.get("maxExp", 1, int)
+        # exponent grid for the autotuner (searchoracle.cc:212 iterates
+        # ce = minExp..maxExp; defaults 1/1 per searchoracle.h:50-51)
+        self.min_exp = pm.get("minExp", 1, int)
+        self.max_exp = pm.get("maxExp", 1, int)
+        if self.max_exp < self.min_exp or self.max_exp < 1:
+            raise ValueError("maxExp must be >= minExp >= 1")
         pm.check_unused()
         # query-time pruner params (searchoracle.h defaults: all 1)
         self.alpha_left = 1.0
@@ -548,9 +552,12 @@ class VPTree(Method):
 
         k = self.tune_k if self.tune_k > 0 else 10
         res = tune_vptree_alphas(self, store, k=k, desired_recall=self.desired_recall,
-                                 sample=min(self.tune_qty, len(store)))
+                                 sample=min(self.tune_qty, len(store)),
+                                 exp_grid=list(range(self.min_exp, self.max_exp + 1)))
         self.alpha_left = res["alphaLeft"]
         self.alpha_right = res["alphaRight"]
+        self.exp_left = res.get("expLeft", self.exp_left)
+        self.exp_right = res.get("expRight", self.exp_right)
         log("INFO", f"vptree autotune: {res}")
 
     # ---------------- search ----------------
