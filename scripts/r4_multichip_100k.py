@@ -73,7 +73,10 @@ def main():
     assert same == 1.0, same
 
     # ---- single-device HNSW (wave build, the sharded builder's algo) ----
-    bp = Params(M=16, efConstruction=100, waveSize=1024)
+    # efC=50 + waveSize=2048: the virtual mesh shares ONE physical core,
+    # so the build params are chosen for CPU feasibility at 100k — the
+    # parity claim only needs both arms built identically
+    bp = Params(M=16, efConstruction=50, waveSize=2048)
     h1 = Index("l2", Params(dim=128), method="hnsw")
     h1.add_dense_batch(corpus)
     t0 = time.time()

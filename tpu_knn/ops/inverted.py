@@ -155,14 +155,25 @@ def taat_topk(pdoc_blocks, pval_blocks, block_ids, ublock, w, corpus_ids,
     them)."""
     nq = w.shape[1]
     n_rows = corpus_ids.shape[0]
-    doc = pdoc_blocks[block_ids]  # [NB, 128] row gathers
-    valb = pval_blocks[block_ids]
-    wb = w[ublock]  # [NB, nq]
-    contrib = valb[:, :, None] * wb[:, None, :]  # [NB, 128, nq]
-    tgt = jnp.where(doc >= 0, doc, n_rows).reshape(-1)  # pads -> OOB drop
+    nb_pad = block_ids.shape[0]
+    # accumulate in block slices: materializing all [NB, 128, nq]
+    # contributions at once is 16 GB at NB=64k/nq=512 (measured OOM);
+    # nb_pad and the slice width are both powers of two, so they divide
+    nbc = min(2048, nb_pad)
+
+    def acc_step(scores, i):
+        bl = jax.lax.dynamic_slice_in_dim(block_ids, i * nbc, nbc)
+        ub = jax.lax.dynamic_slice_in_dim(ublock, i * nbc, nbc)
+        doc = pdoc_blocks[bl]  # [nbc, 128] row gathers
+        valb = pval_blocks[bl]
+        wb = w[ub]  # [nbc, nq]
+        contrib = valb[:, :, None] * wb[:, None, :]  # [nbc, 128, nq]
+        tgt = jnp.where(doc >= 0, doc, n_rows).reshape(-1)  # pads -> OOB drop
+        # UNHINTED scatter-add (hinted scatters miscompile on TPU)
+        return scores.at[tgt].add(contrib.reshape(-1, nq), mode="drop"), None
+
     scores = jnp.zeros((n_rows, nq), jnp.float32)
-    # UNHINTED scatter-add (hinted scatters miscompile on TPU)
-    scores = scores.at[tgt].add(contrib.reshape(-1, nq), mode="drop")
+    scores, _ = jax.lax.scan(acc_step, scores, jnp.arange(nb_pad // nbc))
 
     num_chunks = n_rows // chunk
 
