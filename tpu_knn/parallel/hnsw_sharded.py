@@ -263,7 +263,30 @@ class ShardedHnsw:
         s = len(shards)
         per = max(h._n_total for h in shards)
         w = int(min(cfg.wave, per))
-        num_waves = (per + w - 1) // w
+        # ramped wave schedule (methods/hnsw._run_waves): every shard
+        # subgraph starts EMPTY, so a full-width first wave would leave
+        # each shard a mates-only backbone — the small-corpus recall
+        # collapse measured in round 4 (0.53 at waveSize/n=0.5), hit
+        # HARDER here because per-shard n is corpus/S. Head waves ramp
+        # 128,128,256,... so each links into a frozen prefix its own
+        # size; one compiled program per distinct width (cached).
+        schedule: list[tuple[int, int]] = []
+        pos = 0
+        if w > 128:
+            ramp, sz = [128, 128], 256
+            while sz <= w // 2:
+                ramp.append(sz)
+                sz *= 2
+            for sz in ramp:
+                sz = min(sz, per - pos)
+                if sz <= 0:
+                    break
+                schedule.append((pos, sz))
+                pos += sz
+        while pos < per:
+            schedule.append((pos, w))
+            pos += w
+        num_waves = len(schedule)
         max_level = max(h._max_level for h in shards)
 
         # stacked per-node query encodings, row-padded to a common count;
@@ -309,45 +332,14 @@ class ShardedHnsw:
 
         # per-shard level arrays over the padded wave range (-1 pads are
         # no-ops: the wave step never connects wl<0 rows)
-        wl_st = np.full((s, num_waves * w), -1, np.int32)
+        wl_width = max(off for off, _ in schedule) + w
+        wl_st = np.full((s, wl_width), -1, np.int32)
         for si, h in enumerate(shards):
             wl_st[si, : len(h.levels)] = h.levels
         wl_st = jnp.asarray(wl_st)
 
-        step = make_wave_step(
-            build_space,
-            n_q,
-            w,
-            max_level,
-            efc=cfg.ef_construction,
-            m=cfg.M,
-            m0cap=cfg.maxM0,
-            mcap=cfg.maxM,
-            mates=min(cfg.wave_mates, w),
-            expand=cfg.construction_expand,
-            selection="none" if cfg.delaunay_type == 0 else "heur",
-            exact_space=self.space if exact else None,
-            exact_pairs=exact and bool(cfg.exact_pairs),
-            exact_base=bool(cfg.exact_base),
-        )
-
         n_upper = len(st["upper"])
         axis = self.axis
-
-        def local(level0_l, upper_l, wl_l, corpus_l, qenc_l, ecorpus_l, eqenc_l,
-                  start, limit):
-            corpus = {k: v[0] for k, v in corpus_l.items()}
-            qe = {k: (v[0] if k in per_point else v) for k, v in qenc_l.items()}
-            ec = {k: v[0] for k, v in ecorpus_l.items()} or None
-            eq = {
-                k: (v[0] if k in e_per_point else v) for k, v in eqenc_l.items()
-            } or None
-            wl = jax.lax.dynamic_slice_in_dim(wl_l[0], start, w)
-            l0, up = step(
-                level0_l[0], [u[0] for u in upper_l], start, wl,
-                jnp.int32(0), limit, corpus, qe, ec, eq,
-            )
-            return l0[None], tuple(u[None] for u in up)
 
         in_specs = (
             P(axis),
@@ -360,29 +352,69 @@ class ShardedHnsw:
             P(),
             P(),
         )
-        f = jax.jit(
-            jax.shard_map(
-                local,
-                mesh=self.mesh,
-                in_specs=in_specs,
-                out_specs=(P(axis), tuple(P(axis) for _ in range(n_upper))),
-                check_vma=False,
-            ),
-            donate_argnums=(0, 1),
-        )
+
+        def make_f(width: int):
+            step = make_wave_step(
+                build_space,
+                n_q,
+                width,
+                max_level,
+                efc=cfg.ef_construction,
+                m=cfg.M,
+                m0cap=cfg.maxM0,
+                mcap=cfg.maxM,
+                mates=min(cfg.wave_mates, width),
+                expand=cfg.construction_expand,
+                selection="none" if cfg.delaunay_type == 0 else "heur",
+                exact_space=self.space if exact else None,
+                exact_pairs=exact and bool(cfg.exact_pairs),
+                exact_base=bool(cfg.exact_base),
+            )
+
+            def local(level0_l, upper_l, wl_l, corpus_l, qenc_l, ecorpus_l,
+                      eqenc_l, start, limit):
+                corpus = {k: v[0] for k, v in corpus_l.items()}
+                qe = {k: (v[0] if k in per_point else v) for k, v in qenc_l.items()}
+                ec = {k: v[0] for k, v in ecorpus_l.items()} or None
+                eq = {
+                    k: (v[0] if k in e_per_point else v) for k, v in eqenc_l.items()
+                } or None
+                wl = jax.lax.dynamic_slice_in_dim(wl_l[0], start, width)
+                l0, up = step(
+                    level0_l[0], [u[0] for u in upper_l], start, wl,
+                    jnp.int32(0), limit, corpus, qe, ec, eq,
+                )
+                return l0[None], tuple(u[None] for u in up)
+
+            return jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=in_specs,
+                    out_specs=(P(axis), tuple(P(axis) for _ in range(n_upper))),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1),
+            )
+
+        fs: dict = {}
+
+        def get_f(width: int):
+            if width not in fs:
+                fs[width] = make_f(width)
+            return fs[width]
+
         level0, upper = st["level0"], st["upper"]
-        for wi in range(num_waves):
-            start = jnp.int32(wi * w)
-            level0, upper = f(
+        for off, width in schedule:
+            level0, upper = get_f(width)(
                 level0, upper, wl_st, build_corpus, qenc_st, ecorpus_st,
-                eqenc_st, start, start
+                eqenc_st, jnp.int32(off), jnp.int32(off)
             )
         for _ in range(cfg.post):
-            for wi in range(num_waves - 1, -1, -1):
-                start = jnp.int32(wi * w)
-                level0, upper = f(
+            for off, width in reversed(schedule):
+                level0, upper = get_f(width)(
                     level0, upper, wl_st, build_corpus, qenc_st, ecorpus_st,
-                    eqenc_st, start, jnp.int32(n_q)
+                    eqenc_st, jnp.int32(off), jnp.int32(n_q)
                 )
         st["level0"], st["upper"] = level0, tuple(upper)
 
