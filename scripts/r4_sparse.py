@@ -189,8 +189,6 @@ def stage_napp1m():
 
 
 def stage_waveprof():
-    import jax
-
     from tpu_knn import DataKind, Index, Params
     from tpu_knn.eval.datasets import sparse_like
 
@@ -198,17 +196,30 @@ def stage_waveprof():
     pts = sparse_like(100_000 + nq, vocab=30_000, nnz=64, seed=0)
     idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
     idx.add_sparse_batch(pts[:n])
-    # warm compile: a first small build with the same waveSize would
-    # recompile at a different n; instead accept the compile inside the
-    # trace window and read only steady-state wave steps
-    tdir = "/tmp/r4_waveprof"
+    # window-trace steady-state waves only (the whole-build trace of the
+    # first attempt was 94% compile; profile_wave_window drains the
+    # queue on both edges so device_duration_ps attributes those waves)
+    tdir = "/tmp/r4_waveprof2"
+    params = Params(M=16, efConstruction=100, waveSize=512, sketchDim=0)
+    m = idx._make_method(params)
+    m.profile_wave_window = (40, 49, tdir)  # 10 steady waves, drained edges
     t0 = time.perf_counter()
-    with jax.profiler.trace(tdir):
-        idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
-                               sketchDim=0))
-        sync_graph(idx)
-    emit(stage="waveprof", n=n, event="build_ok",
-         build_s=round(time.perf_counter() - t0, 1), trace_dir=tdir)
+    m.create_index(idx.store, params)
+    import jax.numpy as jnp
+
+    float(jnp.sum(m.graph["level0"]))
+    bs = time.perf_counter() - t0
+    win = getattr(m, "_prof_wall_s", None)
+    row = dict(stage="waveprof", n=n, event="build_ok",
+               build_s=round(bs, 1), trace_dir=tdir,
+               window_wall_ms_per_wave=round(win / 10 * 1e3, 1) if win else None)
+    from r2_build_prof import parse_trace
+
+    prof = parse_trace(tdir)
+    if prof:
+        prof["per_wave_device_ms"] = round(prof["total_device_ms"] / 10, 1)
+        emit(kind="wave_window", **prof)
+    emit(**row)
 
 
 def main():
