@@ -106,7 +106,11 @@ def stage_taat():
     from tpu_knn.eval.datasets import sparse_like
     from tpu_knn.methods import inv_index as II
 
-    for n, vocab in ((100_000, 30_000), (1_000_000, 60_000)):
+    sizes = ((100_000, 30_000), (1_000_000, 60_000))
+    if len(sys.argv) > 2:  # e.g. "taat 1000000" re-runs just that size
+        want = int(sys.argv[2])
+        sizes = tuple(s for s in sizes if s[0] == want)
+    for n, vocab in sizes:
         pts = sparse_like(n + 2048, vocab=vocab, nnz=64, seed=0)
         # negdotprod ranks by raw dot (not the cosine gold): host-f64
         # gold at 100k; at 1M the check is TAAT-vs-scan id agreement

@@ -50,6 +50,14 @@ INVINDX_BACKEND = "taat"
 def _daat_knn(space, qenc, data, k: int, chunk: int):
     n_pad = data.ids.shape[0]
     b = qenc["qcol"].shape[0]
+    # densify the query table ONCE outside the chunk scan: the in-body
+    # scatter does NOT get hoisted out of lax.scan (r2_nprof lesson,
+    # same manual hoist as seq_search/napp) — without it the [Q, V_pad]
+    # table re-materialized per chunk, 10x-ing the wall and faulting
+    # the TPU worker at 100k x 512q (round 4, r4_sparse.jsonl taat)
+    from .seq_search import _densify_in_jit
+
+    qenc = _densify_in_jit(space, qenc, data)
 
     def chunk_dists(ci):
         xc = space.slice_data(data, ci * chunk, chunk)
