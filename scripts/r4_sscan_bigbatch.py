@@ -36,13 +36,17 @@ def main():
 
     enable_persistent_cache()
     n, vocab = 1_000_000, 60_000
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     pts = sparse_like(n + 8192, vocab=vocab, nnz=64, seed=0)
     idx = Index("cosinesimil_sparse", method="seq_search",
                 data_type=DataKind.SPARSE)
     idx.add_sparse_batch(pts[:n])
     t0 = time.perf_counter()
-    idx.build_index()
-    emit(event="encoded", build_s=round(time.perf_counter() - t0, 1))
+    # chunkSize: the API default (preferred_chunk=256) runs 3,907 scan
+    # iterations at 1M — r3's 634-qps nq=2048 row used chunk 1024
+    idx.build_index(Params(chunkSize=chunk) if chunk else None)
+    emit(event="encoded", chunk=chunk,
+         build_s=round(time.perf_counter() - t0, 1))
     # exactness vs host-f64 established at nq=512 (r3; scan is exact to
     # ~5e-8) — these rows measure THROUGHPUT at serving batches
     for nq in (2048, 4096, 8192):
@@ -51,8 +55,8 @@ def main():
         t0 = time.perf_counter()
         _, ids = idx.knn_query_batch(qs, K)
         dt = time.perf_counter() - t0
-        emit(stage="sscan_bigbatch", n=n, nq=nq, qps=round(nq / dt, 1),
-             s_per_batch=round(dt, 2),
+        emit(stage="sscan_bigbatch", n=n, nq=nq, chunk=chunk,
+             qps=round(nq / dt, 1), s_per_batch=round(dt, 2),
              note="exact (recall 1.0 vs f64 established r3)")
 
 

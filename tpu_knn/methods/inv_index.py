@@ -35,7 +35,6 @@ from ..core.errors import IndexNotBuiltError, SpaceIncompatibleError
 from ..core.params import ParamManager, Params
 from ..core.registry import register_method
 from ..ops import inverted as IV
-from ..ops import sparse as S
 from ..ops import topk as T
 from .base import Method
 
@@ -59,18 +58,30 @@ def _daat_knn(space, qenc, data, k: int, chunk: int):
 
     qenc = _densify_in_jit(space, qenc, data)
 
-    def chunk_dists(ci):
+    # one scan does scoring + top-k + the DAAT touched-doc accounting.
+    # (The former SEPARATE intersect-count sweep doubled the corpus work
+    # per batch and was the prime suspect in two TPU worker faults at
+    # 100k x 512q and 1M x 32q — r4_sparse.jsonl taat stage.) Touched is
+    # counted as dot != 0: identical to the posting-intersection count
+    # for positive-valued data; an exactly-cancelling mixed-sign overlap
+    # would be uncounted (the TAAT backend counts the same way).
+    def step(carry, ci):
+        cd, cidx, nacc = carry
         xc = space.slice_data(data, ci * chunk, chunk)
-        return space.block(qenc, xc)
+        d = space.block(qenc, xc)
+        cols = ci * chunk + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        nd_, ni_ = T.merge_topk(cd, cidx, d, cols, k)
+        # padding rows carry the pad term (nonzero): mask them out
+        nacc = nacc + jnp.sum((d != 0.0) & (cols < data.count), axis=1,
+                              dtype=jnp.int32)
+        return (nd_, ni_, nacc), None
 
-    d, pos = T.streaming_smallest_k(chunk_dists, n_pad // chunk, chunk, b, k)
-    # touched docs = those sharing at least one term with the query
-    def touched(ci):
-        xc = space.slice_data(data, ci * chunk, chunk)
-        inter = S.intersect_count_blocked(qenc["qcol"], xc["cols"])
-        return jnp.sum(inter > 0, axis=1)  # per query (int32-safe)
-
-    nd = jnp.sum(jax.lax.map(touched, jnp.arange(n_pad // chunk)), axis=0)
+    init = (
+        jnp.full((b, k), T.INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+    )
+    (d, pos, nd), _ = jax.lax.scan(step, init, jnp.arange(n_pad // chunk))
     ids = jnp.where(pos >= 0, data.ids[jnp.clip(pos, 0, n_pad - 1)], -1)
     return d, ids, nd
 
