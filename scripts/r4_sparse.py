@@ -226,6 +226,40 @@ def stage_waveprof():
     emit(**row)
 
 
+def stage_pairab():
+    """Exact sparse wave build with the support-match pair-gram backend
+    vs the densify+matmul default (trace-time flag: one backend per
+    process; argv[2] = mxu|support). The r4 wave-window trace attributes
+    ~31% of build device time to the mxu path's densify scatters."""
+    import tpu_knn.ops.sparse as S
+
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    backend = sys.argv[2] if len(sys.argv) > 2 else "support"
+    S.PAIR_BACKEND = backend
+    n, nq = 50_000, 512
+    pts = sparse_like(100_000 + nq, vocab=30_000, nnz=64, seed=0)
+    gold = f64_gold(pts[:n] + pts[100_000:], n, nq, 30_000,
+                    "gold_sparse50000_v30k.npz")
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:n])
+    t0 = time.perf_counter()
+    idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
+                           sketchDim=0))
+    sync_graph(idx)
+    bs = round(time.perf_counter() - t0, 1)
+    emit(stage="pairab", backend=backend, n=n, event="build_ok", build_s=bs)
+    for ef in (50, 100):
+        idx.set_query_time_params(Params(efSearch=ef))
+        idx.knn_query_batch(pts[100_000:], K)
+        t0 = time.perf_counter()
+        _, ids = idx.knn_query_batch(pts[100_000:], K)
+        dt = time.perf_counter() - t0
+        emit(stage="pairab", backend=backend, ef=ef, qps=round(nq / dt, 1),
+             recall_at_10=round(recall_vs(ids, gold), 4))
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "shrink"
     from tpu_knn.utils.jitcache import enable_persistent_cache
@@ -234,7 +268,8 @@ def main():
     emit(event="start", stage=stage)
     try:
         {"shrink": stage_shrink, "taat": stage_taat,
-         "napp1m": stage_napp1m, "waveprof": stage_waveprof}[stage]()
+         "napp1m": stage_napp1m, "waveprof": stage_waveprof,
+         "pairab": stage_pairab}[stage]()
         emit(event="done", stage=stage)
     except Exception as e:
         emit(event="error", stage=stage, error=repr(e),

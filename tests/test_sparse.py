@@ -312,10 +312,15 @@ def test_pair_dots_backends_agree(rng):
     args = (jnp.asarray(acol), jnp.asarray(aval), jnp.asarray(bcol), jnp.asarray(bval))
     old = S.PAIR_BACKEND
     try:
-        for backend in ("gather", "mxu"):
+        # "support" (round 4): column-equality match, no densify — the
+        # corpus b-side is always in-vocabulary, so OOV a-ids match
+        # nothing, exactly like the densify backends' drop
+        for backend in ("gather", "mxu", "support"):
             S.PAIR_BACKEND = backend
             got = np.asarray(S.pair_dots_qdense(*args, v_pad))
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, err_msg=backend)
+            if backend == "support":
+                continue  # no blocked variant (never densifies)
             # blocked lax.map path (budget forces bk=1)
             got = np.asarray(S.pair_dots_qdense(*args, v_pad, budget=(c + c2) * v_pad))
             np.testing.assert_allclose(

@@ -176,6 +176,16 @@ def intersect_count_qdense(qd, xcol):
 #: Correctness of the both-sides-densify formulation on TPU was
 #: re-proven after the scatter-hint fix (blocked_vs_gather maxabs ~1e-5
 #: on-device, standalone and under lax.map — r2_sparse_scan_speed.py).
+#: Pairwise candidate-gram formulation (pair_dots_qdense): "mxu"
+#: densifies both candidate sides to [bk, C, v_pad] tables and runs one
+#: matmul per block; "support" matches column ids by equality and never
+#: densifies — a fori_loop over the a-side nnz with a [B, C, C2, nnz_b]
+#: compare+reduce fusion per step (the pair-wise analog of the
+#: support_dots query-side win). The round-4 wave-window trace
+#: attributes ~31% of the exact sparse wave build's device time to the
+#: mxu path's densify scatters (bench_results/r4_sparse.jsonl
+#: wave_window, ops/sparse.py:253 while-loops), which scale with
+#: C*v_pad cells; the support path scales with C*C2*nnz^2 compares.
 PAIR_BACKEND = "mxu"
 
 #: Beam-traversal candidate scoring formulation (SparseDotBase
@@ -235,6 +245,8 @@ def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
     """
     b, c, nnz_a = acol.shape
     c2, nnz_b = bcol.shape[1], bcol.shape[2]
+    if PAIR_BACKEND == "support":
+        return _pair_dots_support(acol, aval, bcol, bval)
     mxu = PAIR_BACKEND == "mxu"
     per_row = (c + c2 if mxu else c) * v_pad
     block = _pair_dots_block_mxu if mxu else _pair_dots_block
@@ -255,6 +267,27 @@ def pair_dots_qdense(acol, aval, bcol, bval, v_pad: int, budget: int = 1 << 26):
         (padb(acol), padb(aval), padb(bcol), padb(bval)),
     )
     return out.reshape(bp, c, c2)[:b]
+
+
+def _pair_dots_support(acol, aval, bcol, bval):
+    """[B, C, C2] pairwise dots by column-equality match — no densify.
+
+    dot(a, b) = sum_i aval_i * (bval at the b-element whose column
+    equals acol_i, else 0); column ids are unique within a row and
+    padding slots carry val 0, so the match is exact. One fori_loop
+    step per a-side nnz: a [B, C, C2, nnz_b] compare + masked reduce
+    that XLA fuses without materializing the full mask."""
+    c2 = bcol.shape[1]
+
+    def step(i, acc):
+        ac = jax.lax.dynamic_slice_in_dim(acol, i, 1, 2)  # [B, C, 1]
+        av = jax.lax.dynamic_slice_in_dim(aval, i, 1, 2)[..., 0]  # [B, C]
+        eq = bcol[:, None, :, :] == ac[:, :, None, :]  # [B, C, C2, nnz_b]
+        contrib = jnp.sum(jnp.where(eq, bval[:, None, :, :], 0.0), axis=-1)
+        return acc + av[:, :, None] * contrib
+
+    acc = jnp.zeros((acol.shape[0], acol.shape[1], c2), jnp.float32)
+    return jax.lax.fori_loop(0, acol.shape[2], step, acc)
 
 
 def _pair_dots_block_mxu(ac, av, bc, bv, v_pad: int):
