@@ -186,7 +186,11 @@ def intersect_count_qdense(qd, xcol):
 #: mxu path's densify scatters (bench_results/r4_sparse.jsonl
 #: wave_window, ops/sparse.py:253 while-loops), which scale with
 #: C*v_pad cells; the support path scales with C*C2*nnz^2 compares.
-PAIR_BACKEND = "mxu"
+#: Same-session A/B on chip (r4_sparse.jsonl pairab, 50k exact waves,
+#: waveSize=512): support builds in 268.6 s vs mxu's 483.2 s (1.8x) at
+#: IDENTICAL recall (0.9539/0.9924 at ef=50/100 — same selections), so
+#: support is the default; mxu/gather stay as A/B arms.
+PAIR_BACKEND = "support"
 
 #: Beam-traversal candidate scoring formulation (SparseDotBase
 #: .gathered_block): "support" matches candidate column ids against the
