@@ -260,6 +260,34 @@ def stage_pairab():
              recall_at_10=round(recall_vs(ids, gold), 4))
 
 
+def stage_probe100k():
+    """100k exact wave build on the support pair-gram default — the
+    direct VERDICT item-5 criterion (<= 600 s at recall >= 0.985; r3
+    mxu baseline: 858.2 s @ 0.9875 ef=100)."""
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    n, nq = 100_000, 512
+    pts = sparse_like(n + nq, vocab=30_000, nnz=64, seed=0)
+    gold = f64_gold(pts, n, nq, 30_000, "gold_sparse100000_v30k.npz")
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:n])
+    t0 = time.perf_counter()
+    idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
+                           sketchDim=0))
+    sync_graph(idx)
+    emit(stage="probe100k", backend="support", event="build_ok",
+         build_s=round(time.perf_counter() - t0, 1))
+    for ef in (50, 100):
+        idx.set_query_time_params(Params(efSearch=ef))
+        idx.knn_query_batch(pts[n:], K)
+        t0 = time.perf_counter()
+        _, ids = idx.knn_query_batch(pts[n:], K)
+        dt = time.perf_counter() - t0
+        emit(stage="probe100k", ef=ef, qps=round(nq / dt, 1),
+             recall_at_10=round(recall_vs(ids, gold), 4))
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "shrink"
     from tpu_knn.utils.jitcache import enable_persistent_cache
@@ -269,7 +297,7 @@ def main():
     try:
         {"shrink": stage_shrink, "taat": stage_taat,
          "napp1m": stage_napp1m, "waveprof": stage_waveprof,
-         "pairab": stage_pairab}[stage]()
+         "pairab": stage_pairab, "probe100k": stage_probe100k}[stage]()
         emit(event="done", stage=stage)
     except Exception as e:
         emit(event="error", stage=stage, error=repr(e),
