@@ -261,12 +261,17 @@ def stage_pairab():
 
 
 def stage_probe100k():
-    """100k exact wave build on the support pair-gram default — the
-    direct VERDICT item-5 criterion (<= 600 s at recall >= 0.985; r3
-    mxu baseline: 858.2 s @ 0.9875 ef=100)."""
+    """100k exact wave build — the direct VERDICT item-5 criterion
+    (<= 600 s at recall >= 0.985; r3 mxu baseline: 858.2 s @ 0.9875
+    ef=100). argv[2] selects the pair-gram backend (default support)
+    so the recall delta vs r3 can be attributed."""
+    import tpu_knn.ops.sparse as S
+
     from tpu_knn import DataKind, Index, Params
     from tpu_knn.eval.datasets import sparse_like
 
+    backend = sys.argv[2] if len(sys.argv) > 2 else "support"
+    S.PAIR_BACKEND = backend
     n, nq = 100_000, 512
     pts = sparse_like(n + nq, vocab=30_000, nnz=64, seed=0)
     gold = f64_gold(pts, n, nq, 30_000, "gold_sparse100000_v30k.npz")
@@ -276,7 +281,7 @@ def stage_probe100k():
     idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
                            sketchDim=0))
     sync_graph(idx)
-    emit(stage="probe100k", backend="support", event="build_ok",
+    emit(stage="probe100k", backend=backend, event="build_ok",
          build_s=round(time.perf_counter() - t0, 1))
     for ef in (50, 100):
         idx.set_query_time_params(Params(efSearch=ef))
@@ -284,7 +289,7 @@ def stage_probe100k():
         t0 = time.perf_counter()
         _, ids = idx.knn_query_batch(pts[n:], K)
         dt = time.perf_counter() - t0
-        emit(stage="probe100k", ef=ef, qps=round(nq / dt, 1),
+        emit(stage="probe100k", backend=backend, ef=ef, qps=round(nq / dt, 1),
              recall_at_10=round(recall_vs(ids, gold), 4))
 
 
