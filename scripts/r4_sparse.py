@@ -302,7 +302,8 @@ def main():
     try:
         {"shrink": stage_shrink, "taat": stage_taat,
          "napp1m": stage_napp1m, "waveprof": stage_waveprof,
-         "pairab": stage_pairab, "probe100k": stage_probe100k}[stage]()
+         "pairab": stage_pairab, "probe100k": stage_probe100k,
+         "rampab": stage_rampab}[stage]()
         emit(event="done", stage=stage)
     except Exception as e:
         emit(event="error", stage=stage, error=repr(e),
@@ -312,3 +313,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def stage_rampab():
+    """Ramp on/off at 100k exact waves (support grams): is the shared
+    -0.010 recall drift vs r3's 0.9875 the ramped schedule's
+    construction-order change?"""
+    import tpu_knn.methods.hnsw as H
+
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    H.WAVE_RAMP = sys.argv[2] != "off" if len(sys.argv) > 2 else True
+    n, nq = 100_000, 512
+    pts = sparse_like(n + nq, vocab=30_000, nnz=64, seed=0)
+    gold = f64_gold(pts, n, nq, 30_000, "gold_sparse100000_v30k.npz")
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:n])
+    t0 = time.perf_counter()
+    idx.build_index(Params(M=16, efConstruction=100, waveSize=512,
+                           sketchDim=0))
+    sync_graph(idx)
+    emit(stage="rampab", ramp=bool(H.WAVE_RAMP), event="build_ok",
+         build_s=round(time.perf_counter() - t0, 1))
+    for ef in (50, 100):
+        idx.set_query_time_params(Params(efSearch=ef))
+        idx.knn_query_batch(pts[n:], K)
+        t0 = time.perf_counter()
+        _, ids = idx.knn_query_batch(pts[n:], K)
+        dt = time.perf_counter() - t0
+        emit(stage="rampab", ramp=bool(H.WAVE_RAMP), ef=ef,
+             qps=round(nq / dt, 1), recall_at_10=round(recall_vs(ids, gold), 4))

@@ -51,6 +51,12 @@ from .base import Method
 
 NEG1 = np.int32(-1)  # numpy, not jnp — no backend init at import (ops/sparse.py PAD_Q note)
 
+#: Ramped head-wave schedule (see _run_waves). A/B harness flag: the
+#: ramp fixed the small-corpus backbone collapse (0.53 -> 1.0 recall at
+#: n=2048/waveSize=1024, round 4); False restores the fixed-width
+#: schedule for order-sensitivity studies.
+WAVE_RAMP = True
+
 
 def _corpus_dict(space, data) -> dict:
     """Row-indexed corpus arrays for gather-based search (delegates to the
@@ -1053,7 +1059,7 @@ class Hnsw(Method):
         # unchanged, costing only ~log2(w/128) extra cached compiles.
         schedule: list[tuple[int, int]] = []
         pos = 0
-        if lo == 0 and w > 128:
+        if lo == 0 and w > 128 and WAVE_RAMP:
             ramp = [128, 128]  # two 128s: wave 2's frozen prefix == its size
             s = 256
             while s <= w // 2:
