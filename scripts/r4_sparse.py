@@ -311,8 +311,6 @@ def main():
         raise
 
 
-if __name__ == "__main__":
-    main()
 
 
 def stage_rampab():
@@ -344,3 +342,6 @@ def stage_rampab():
         dt = time.perf_counter() - t0
         emit(stage="rampab", ramp=bool(H.WAVE_RAMP), ef=ef,
              qps=round(nq / dt, 1), recall_at_10=round(recall_vs(ids, gold), 4))
+
+if __name__ == "__main__":
+    main()
