@@ -1057,9 +1057,15 @@ class Hnsw(Method):
         # first links into a frozen prefix at least its own size; the
         # steady-state wave width (and its compiled program) is
         # unchanged, costing only ~log2(w/128) extra cached compiles.
+        # THRESHOLDED: when the first wave is already a tiny corpus
+        # fraction (w <= n/64) the mates-only set is harmless and the
+        # ramp measurably HURTS near-tied sparse construction order
+        # (100k exact waves: ramped 0.9775 vs un-ramped 0.9875 @ ef=100,
+        # r4_sparse.jsonl rampab — reproduces r3's fidelity), so large
+        # corpora keep the fixed-width schedule.
         schedule: list[tuple[int, int]] = []
         pos = 0
-        if lo == 0 and w > 128 and WAVE_RAMP:
+        if lo == 0 and w > 128 and w > n // 64 and WAVE_RAMP:
             ramp = [128, 128]  # two 128s: wave 2's frozen prefix == its size
             s = 256
             while s <= w // 2:

@@ -270,9 +270,12 @@ class ShardedHnsw:
         # HARDER here because per-shard n is corpus/S. Head waves ramp
         # 128,128,256,... so each links into a frozen prefix its own
         # size; one compiled program per distinct width (cached).
+        # Same w > per/64 threshold as the single-device builder (the
+        # ramp hurts near-tied construction order when the first wave
+        # is already a tiny fraction — r4_sparse.jsonl rampab).
         schedule: list[tuple[int, int]] = []
         pos = 0
-        if w > 128:
+        if w > 128 and w > per // 64:
             ramp, sz = [128, 128], 256
             while sz <= w // 2:
                 ramp.append(sz)
