@@ -303,7 +303,7 @@ def main():
         {"shrink": stage_shrink, "taat": stage_taat,
          "napp1m": stage_napp1m, "waveprof": stage_waveprof,
          "pairab": stage_pairab, "probe100k": stage_probe100k,
-         "rampab": stage_rampab}[stage]()
+         "rampab": stage_rampab, "exact1m": stage_exact1m}[stage]()
         emit(event="done", stage=stage)
     except Exception as e:
         emit(event="error", stage=stage, error=repr(e),
@@ -342,6 +342,38 @@ def stage_rampab():
         dt = time.perf_counter() - t0
         emit(stage="rampab", ramp=bool(H.WAVE_RAMP), ef=ef,
              qps=round(nq / dt, 1), recall_at_10=round(recall_vs(ids, gold), 4))
+
+
+
+def stage_exact1m():
+    """1M exact sparse wave build — the last open sparse-1M question:
+    does exact construction (now 5x cheaper via support pair grams, and
+    r3-order-identical via the ramp threshold) hold recall at 1M where
+    the JL-proxy build collapsed (0.138-0.763) and the REFERENCE's own
+    exact graph collapsed too (0.846 @ ef=200)? r3 exactwave fidelity:
+    0.9875 @ 100k/ef=100."""
+    from tpu_knn import DataKind, Index, Params
+    from tpu_knn.eval.datasets import sparse_like
+
+    n, nq, vocab = 1_000_000, 512, 60_000
+    pts = sparse_like(n + nq, vocab=vocab, nnz=64, seed=0)
+    gold = f64_gold(pts, n, nq, vocab, "gold_sparse1m_v60k.npz")
+    idx = Index("cosinesimil_sparse", method="hnsw", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(pts[:n])
+    t0 = time.perf_counter()
+    idx.build_index(Params(M=16, efConstruction=100, waveSize=1024,
+                           sketchDim=0))
+    sync_graph(idx)
+    emit(stage="exact1m", event="build_ok",
+         build_s=round(time.perf_counter() - t0, 1))
+    for ef in (50, 100, 200):
+        idx.set_query_time_params(Params(efSearch=ef))
+        idx.knn_query_batch(pts[n:], K)
+        t0 = time.perf_counter()
+        _, ids = idx.knn_query_batch(pts[n:], K)
+        dt = time.perf_counter() - t0
+        emit(stage="exact1m", ef=ef, qps=round(nq / dt, 1),
+             recall_at_10=round(recall_vs(ids, gold), 4))
 
 if __name__ == "__main__":
     main()
