@@ -419,3 +419,28 @@ def test_cstore_stands_down_sparse_and_fusion_wave_builds():
     de.add_dense_batch(rng.standard_normal((64, 8)).astype(np.float32))
     de.build_index(Params(M=4, efConstruction=10, waveSize=16))
     assert de.method._cstore_ok() is True
+
+
+def test_post_pass_with_ramped_schedule(rng):
+    """post passes iterate a uniform width-w grid even when the head
+    ramp (waveSize > n/64) added extra waves to the build schedule
+    (ADVICE r4: wi*w indexing into the ramped schedule overran the
+    corpus and crashed with a broadcast error at n=2048/waveSize=1024).
+    The post pass must also not cost recall."""
+    n = 2048
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    exact = Index("l2", Params(dim=16), method="seq_search")
+    exact.add_dense_batch(x)
+
+    recalls = {}
+    for post in (0, 1):
+        idx = Index("l2", Params(dim=16), method="hnsw")
+        idx.add_dense_batch(x)
+        # ramp fires: waveSize=1024 > 128 and > n//64=32
+        idx.build_index(Params(M=8, efConstruction=40, waveSize=1024,
+                               seed=0, post=post))
+        idx.set_query_time_params(Params(efSearch=64))
+        recalls[post] = _recall(idx, exact, q, 10)
+    assert recalls[1] >= recalls[0] - 0.02
+    assert recalls[1] >= 0.85

@@ -169,3 +169,34 @@ def test_load_data_false_index_only(tmp_path, rng):
     idx3 = Index.load(p, load_data=True)
     _, i3 = idx3.knn_query_batch(x[:16], 5)
     np.testing.assert_array_equal(i0, i3)
+
+
+def test_save_v3_single_copy(tmp_path, rng):
+    """Format v3 (ADVICE r4): the data arrays live in exactly one
+    artifact — save_data=True writes them to the .dat only (no embedded
+    duplicate in the .idx), and load_data=False still works by falling
+    back to the .dat."""
+    import os
+
+    x = rng.standard_normal((48, 8)).astype(np.float32)
+    idx = Index("l2", Params(dim=8), method="hnsw")
+    idx.add_dense_batch(x)
+    idx.build_index(Params(M=4, efConstruction=10, waveSize=16))
+    d0, i0 = idx.knn_query_batch(x[:8], 3)
+    p = str(tmp_path / "v3")
+    idx.save(p)  # save_data=True
+    assert os.path.exists(p + ".dat.npz")
+    with np.load(p + ".idx.npz") as z:
+        assert not any(k.startswith("data_") for k in z.files)
+        idx_sz = os.path.getsize(p + ".idx.npz")
+    # both load modes answer identically (load_data=False reads the .dat
+    # since nothing is embedded)
+    for ld in (True, False):
+        idx2 = Index.load(p, load_data=ld)
+        d1, i1 = idx2.knn_query_batch(x[:8], 3)
+        np.testing.assert_array_equal(i0, i1)
+    # save_data=False embeds instead: single larger artifact, no .dat
+    p2 = str(tmp_path / "v3b")
+    idx.save(p2, save_data=False)
+    assert not os.path.exists(p2 + ".dat.npz")
+    assert os.path.getsize(p2 + ".idx.npz") > idx_sz

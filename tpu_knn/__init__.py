@@ -25,10 +25,12 @@ from . import spaces  # noqa: F401
 from . import methods  # noqa: F401
 
 from .api import Index, QueryResult
+from .spaces.dense import clear_upload_cache
 
 __all__ = [
     "Index",
     "QueryResult",
+    "clear_upload_cache",
     "Params",
     "DataKind",
     "DistKind",

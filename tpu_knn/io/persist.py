@@ -11,10 +11,17 @@ Index-only load (``load_data=False``, nmslib_c.cpp:1399-1456): the
 reference can load without re-reading the ``.dat`` because its
 optimized HNSW blob embeds the vector payloads in the flat node layout
 (hnsw.cc:353-419). The TPU-native equivalent embeds the (compact raw)
-data arrays in ``.idx.npz`` (format v2), so ``load_data=False`` reads
-one artifact and restore re-encodes to the device exactly as normal —
-methods never see a data-less store, which would break their
-row-indexed graph/tree state.
+data arrays in ``.idx.npz``, so ``load_data=False`` reads one artifact
+and restore re-encodes to the device exactly as normal — methods never
+see a data-less store, which would break their row-indexed graph/tree
+state.
+
+Format v3 (ADVICE r4: v2 wrote the corpus twice): the data arrays live
+in exactly ONE artifact — ``save_data=True`` writes them to
+``.dat.npz`` only, ``save_data=False`` embeds them in ``.idx.npz``
+only. The loader uses embedded arrays when present and falls back to
+the ``.dat.npz`` otherwise, so both load modes work for both save
+modes and disk/IO at 1M scale is halved vs v2.
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from ..core.dataset import DataKind, DataStore, DistKind
 from ..core.errors import DataIOError
 from ..core.params import Params
 
-_FORMAT_VERSION = 2  # v2: data arrays embedded in .idx.npz (index-only load)
+_FORMAT_VERSION = 3  # v3: data arrays in exactly one artifact (see module doc)
 
 
 def _store_to_arrays(store: DataStore) -> dict[str, np.ndarray]:
@@ -111,13 +118,15 @@ def save_index(index, path: str, save_data: bool = True) -> None:
     state = index.method.state_arrays() if index.method is not None else {}
     try:
         data_arrays = _store_to_arrays(index.store)
+        # the data arrays go to exactly one artifact (v3): the separate
+        # .dat when save_data=True (reference's two-artifact model,
+        # nmslib_c.cpp:1383-1388), embedded in the .idx otherwise so the
+        # single artifact stays self-sufficient for load_data=False
+        embed = {} if save_data else {f"data_{k}": v for k, v in data_arrays.items()}
         np.savez(
             path + ".idx.npz",
             __header__=np.frombuffer(json.dumps(header).encode(), np.uint8),
-            # the index artifact is self-sufficient (reference parity:
-            # the optimized HNSW blob embeds its vectors) so
-            # load_index(..., load_data=False) never opens the .dat
-            **{f"data_{k}": v for k, v in data_arrays.items()},
+            **embed,
             **{f"state_{k}": np.asarray(v) for k, v in state.items()},
         )
         if save_data:
@@ -143,22 +152,23 @@ def load_index(path: str, load_data: bool = True):
         mesh=header.get("mesh_devices", 0) or None,
     )
     index._index_params = Params(header["index_params"])
-    if not load_data:
-        # index-only load: the data arrays embedded in .idx.npz (format
-        # v2) stand in for the .dat (reference: nmslib_c.cpp:1399-1456
-        # loads with load_data=0 because the HNSW blob embeds vectors)
-        if header["format_version"] < 2:
-            raise DataIOError(
-                f"{path}.idx.npz is a format-v{header['format_version']} "
-                "artifact without embedded data; load_data=False needs a "
-                "v2 save (re-save the index) or load_data=True"
-            )
-        dat = {
-            k[len("data_") :]: idx_npz[k]
-            for k in idx_npz.files
-            if k.startswith("data_")
-        }
+    if header["format_version"] < 2:
+        raise DataIOError(
+            f"{path}.idx.npz is a format-v{header['format_version']} "
+            "artifact without embedded data; re-save the index"
+        )
+    embedded = {
+        k[len("data_") :]: idx_npz[k]
+        for k in idx_npz.files
+        if k.startswith("data_")
+    }
+    if embedded:
+        # v2 always embeds; v3 embeds when saved with save_data=False —
+        # either way the .idx is self-sufficient (reference parity: the
+        # optimized HNSW blob embeds vectors, nmslib_c.cpp:1399-1456)
+        dat = embedded
     else:
+        # v3 save_data=True artifact: the data lives only in the .dat
         try:
             dat = np.load(path + ".dat.npz")
         except OSError as e:

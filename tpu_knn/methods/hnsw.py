@@ -809,6 +809,23 @@ class Hnsw(Method):
 
     # ----- NN-descent construction (ops/nndescent.py) -----
 
+    def _will_use_nnd(self, n: int) -> bool:
+        """Resolve the buildAlgo routing ahead of encoding (create_index
+        applies the same rule) so _encode_store can skip construction
+        encodings an NND build never reads. Methods that keep wave state
+        for post-build maintenance (sw_graph delete patching) still need
+        the slab regardless of build algorithm."""
+        if self.KEEP_WAVE_STATE:
+            return False
+        algo = self.build_algo
+        if algo == "auto":
+            algo = (
+                "nndescent"
+                if n >= self.build_algo_auto_n and self._proxy is None
+                else "waves"
+            )
+        return algo == "nndescent" and self._nnd_eligible()
+
     def _nnd_eligible(self) -> bool:
         sp = self._graph_space
         aff = getattr(sp, "pass1_affine", None)
@@ -1028,10 +1045,16 @@ class Hnsw(Method):
             self._graph_space = self.space.construction_space()
             self._graph_data = self.data
             # a restore with the graph already built never runs waves:
-            # skip encoding a second full corpus copy it would drop
+            # skip encoding a second full corpus copy it would drop.
+            # Same for NND-routed builds (decided here, before the waves
+            # would need it): NND scores both sides from corpus rows and
+            # immediately freed this slab — at 1M x 128 the dead encode
+            # cost a full second corpus upload over the tunnel (~140 s,
+            # r4_buildprof silent-gap attribution) inside the pre-init
+            # window the r4 VERDICT flags.
             self._qenc_all = (
                 None
-                if skip_construction
+                if skip_construction or self._will_use_nnd(n)
                 else self.space.encode_queries(
                     self.space.store_as_query_points(store)[self.order]
                 )
@@ -1089,7 +1112,14 @@ class Hnsw(Method):
                 steps[width] = self._make_wave_step(width, self._max_level, use_cstore)
             return steps[width]
 
-        total = lo + schedule[-1][0] + w
+        # post passes re-run every point against the FULL graph and never
+        # need the ramp: they iterate a uniform width-w grid. When the
+        # ramp fired, num_waves > num_post and wi*w indexing into the
+        # ramped schedule would overrun the corpus (ADVICE r4: crash at
+        # n=2048/waveSize=1024/post=1) — so size wl_all for whichever
+        # loop reaches further.
+        num_post = (n + w - 1) // w
+        total = lo + max(schedule[-1][0], (num_post - 1) * w) + w
         wl_all = np.full(total, -1, np.int32)
         wl_all[: len(self.levels)] = self.levels
         corpus = _corpus_dict(self._graph_space, self._graph_data)
@@ -1181,7 +1211,7 @@ class Hnsw(Method):
             step = self._make_wave_step(w, self._max_level, use_cstore,
                                         merge_forward=True)
         for _ in range(self.post if hi >= n_total else 0):
-            for wi in range(num_waves - 1, -1, -1):
+            for wi in range(num_post - 1, -1, -1):
                 start = lo + wi * w
                 out = step(
                     level0,
@@ -1230,7 +1260,7 @@ class Hnsw(Method):
                 )
             )
             for _ in range(self.exact_post):
-                for wi in range(num_waves - 1, -1, -1):
+                for wi in range(num_post - 1, -1, -1):
                     start = lo + wi * w
                     level0, upper = estep(
                         level0,

@@ -273,9 +273,14 @@ class ShardedHnsw:
         # Same w > per/64 threshold as the single-device builder (the
         # ramp hurts near-tied construction order when the first wave
         # is already a tiny fraction — r4_sparse.jsonl rampab).
+        # honor the WAVE_RAMP A/B flag the single-device builder uses
+        # (ADVICE r4: flipping it for order-sensitivity studies must
+        # affect sharded builds too)
+        from ..methods.hnsw import WAVE_RAMP
+
         schedule: list[tuple[int, int]] = []
         pos = 0
-        if w > 128 and w > per // 64:
+        if w > 128 and w > per // 64 and WAVE_RAMP:
             ramp, sz = [128, 128], 256
             while sz <= w // 2:
                 ramp.append(sz)

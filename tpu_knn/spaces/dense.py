@@ -79,6 +79,17 @@ _UPLOAD_CACHE: dict = {}
 _UPLOAD_ORDER: list = []
 
 
+def clear_upload_cache() -> int:
+    """Release the cached device slabs (ADVICE r4: they pin up to two
+    full corpus uploads in HBM for the process lifetime, even after the
+    indexes that used them are freed). Returns the number of entries
+    dropped. Exposed as ``tpu_knn.clear_upload_cache``."""
+    n = len(_UPLOAD_CACHE)
+    _UPLOAD_CACHE.clear()
+    _UPLOAD_ORDER.clear()
+    return n
+
+
 def _cached_upload(xt: np.ndarray):
     import hashlib
 
