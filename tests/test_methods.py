@@ -347,3 +347,43 @@ def test_methods_persistence_roundtrip(tmp_path, dense_pair):
         d2, i2 = idx2.knn_query_batch(q, 5)
         assert np.array_equal(i1, i2), method
         assert np.allclose(d1, d2, atol=1e-5), method
+
+
+def test_simple_invindx_packed_transport(rng):
+    """The qpack single-upload/single-download TAAT path (VERDICT r4
+    item 6) must be bit-identical to the eager path, and knn_async must
+    defer materialization through the same engine."""
+    from tpu_knn.methods import inv_index as II
+    from tpu_knn.ops import qpack as Q
+
+    def mk(n):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(2, 10))
+            ids = np.sort(rng.choice(np.arange(1, 70), size=nnz, replace=False))
+            out.append((ids, rng.random(nnz).astype(np.float32)))
+        return out
+
+    xs, qs = mk(90), mk(8)
+    out = {}
+    orig = Q.PACKED_QUERIES
+    try:
+        for packed in (True, False):
+            Q.PACKED_QUERIES = packed
+            idx = Index("negdotprod_sparse_fast", method="simple_invindx",
+                        data_type=DataKind.SPARSE)
+            idx.add_sparse_batch(xs)
+            d, ids = idx.knn_query_batch(qs, 5)
+            out[packed] = (d, ids, idx.method.dist_comps)
+            # async path: dispatch returns a finisher with equal results
+            fin = idx.method.knn_async(qs, 5)
+            d2, i2 = fin()
+            np.testing.assert_array_equal(ids, i2)
+            np.testing.assert_array_equal(d, d2)
+    finally:
+        Q.PACKED_QUERIES = orig
+    np.testing.assert_array_equal(out[True][1], out[False][1])
+    # f32 payloads ride int32 lanes bit-exactly (never the reverse —
+    # TPU FTZ zeroes subnormal id bitcasts; CLAUDE.md)
+    np.testing.assert_array_equal(out[True][0], out[False][0])
+    assert out[True][2] == out[False][2]

@@ -297,3 +297,28 @@ def test_sharded_hnsw_query_param_validation(rng):
     idx.method.dist_comps = 0
     idx.knn_query_batch(x[:4], 3)
     assert idx.method.dist_comps > 0
+
+
+def test_sharded_range_matches_single_device(setup):
+    """Range under a mesh (VERDICT r4 item 7): per-shard radius scan +
+    associative all_gather merge must reproduce the single-device
+    streamed range scan exactly (reference: seqsearch.cc:109-141 scan,
+    :128-139 per-thread merge)."""
+    x, q, gd, gi = setup
+    # radius at the ~10th-neighbor median: a realistic mixed-count load
+    radius = float(np.median(np.asarray(gd)[:, 9]))
+    single = Index("l2", Params(dim=32), method="seq_search")
+    single.add_dense_batch(x)
+    res_s = single.range_query_batch(q, radius)
+    sharded = Index("l2", Params(dim=32), method="seq_search", mesh=8)
+    sharded.add_dense_batch(x)
+    res_m = sharded.range_query_batch(q, radius)
+    assert len(res_s) == len(res_m) == len(q)
+    for a, b in zip(res_s, res_m):
+        assert len(a.ids) == len(b.ids)
+        np.testing.assert_array_equal(np.sort(a.ids), np.sort(b.ids))
+        np.testing.assert_allclose(np.sort(a.dists), np.sort(b.dists),
+                                   rtol=5e-3, atol=1e-5)
+    # empty-result radius: uniform empty lists, no device collect pass
+    res_e = sharded.range_query_batch(q, 1e-6)
+    assert all(len(r.ids) == 0 for r in res_e)

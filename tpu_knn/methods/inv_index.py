@@ -122,35 +122,81 @@ class SimpleInvIndex(Method):
             self.data.count, int(self.data.ids.shape[0]),
         )
 
+    def _taat_tchunk(self) -> int:
+        # the accumulator top-k pass reads [chunk, nq] score slices (no
+        # [Q, C, nnz] blocks like the scan), so its chunk can be much
+        # wider than preferred_chunk — pick the widest divisor of the
+        # padded row count
+        return next(c for c in (8192, 4096, 2048, 1024, 512, 256, 8)
+                    if self._inv.n_rows % c == 0 and c <= self._inv.n_rows)
+
+    def _taat_dispatch(self, points, k: int):
+        """Enqueue the TAAT engine; returns a zero-arg finisher, or None
+        when the backend/space can't take this batch. Packed transport
+        (ops/qpack) by default: the plan rides ONE upload and the result
+        ONE download — the eager path's five transfers dominated
+        small-batch latency over a remote link (99 ms wall at nq=1 on 1M
+        vs ~5-10 ms device; VERDICT r4 item 6)."""
+        from ..ops import qpack as Q
+
+        if INVINDX_BACKEND != "taat" or self._inv is None:
+            return None
+        qhost = self.space.encode_queries_host(points)
+        if qhost is None:
+            return None
+        block_ids, ublock, w = IV.plan_batch(qhost["qcol"], qhost["qval"], self._inv)
+        # top-k merges need k <= chunk lanes; clamp like the scan
+        kk = min(k, self._inv.n_rows)
+        tchunk = self._taat_tchunk()
+        if Q.PACKED_QUERIES:
+            buf, meta = Q.pack_host(
+                {"block_ids": block_ids, "ublock": ublock, "w": w})
+            packed, nd = IV.taat_topk_packed(
+                self._inv.pdoc_blocks, self._inv.pval_blocks,
+                jnp.asarray(buf), meta, self.data.ids, kk, tchunk,
+            )
+            self._add_dist_comps(nd)
+
+            def finish():
+                d, ids = Q.unpack_results(packed, kk)
+                return self._taat_finalize(d, ids, k, kk)
+        else:
+            d_dev, ids_dev, nd = IV.taat_topk(
+                self._inv.pdoc_blocks, self._inv.pval_blocks,
+                jnp.asarray(block_ids), jnp.asarray(ublock),
+                jnp.asarray(w), self.data.ids, kk, tchunk,
+            )
+            self._add_dist_comps(nd)
+
+            def finish():
+                return self._taat_finalize(
+                    np.asarray(d_dev), np.asarray(ids_dev), k, kk)
+
+        return finish
+
+    def _taat_finalize(self, d, ids, k: int, kk: int):
+        if kk < k:
+            d = np.pad(d, ((0, 0), (0, k - kk)), constant_values=np.inf)
+            ids = np.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+        return self._finalize_knn(d, ids)
+
     def knn(self, points, k: int):
         if self.data is None:
             raise IndexNotBuiltError("simple_invindx: index not built")
-        if INVINDX_BACKEND == "taat" and self._inv is not None:
-            qhost = self.space.encode_queries_host(points)
-            if qhost is not None:
-                block_ids, ublock, w = IV.plan_batch(
-                    qhost["qcol"], qhost["qval"], self._inv)
-                # top-k merges need k <= chunk lanes; clamp like the scan
-                kk = min(k, self._inv.n_rows)
-                # the accumulator top-k pass reads [chunk, nq] score
-                # slices (no [Q, C, nnz] blocks like the scan), so its
-                # chunk can be much wider than preferred_chunk — pick
-                # the widest divisor of the padded row count
-                tchunk = next(c for c in (8192, 4096, 2048, 1024, 512, 256, 8)
-                              if self._inv.n_rows % c == 0
-                              and c <= self._inv.n_rows)
-                d, ids, nd = IV.taat_topk(
-                    self._inv.pdoc_blocks, self._inv.pval_blocks,
-                    jnp.asarray(block_ids), jnp.asarray(ublock),
-                    jnp.asarray(w), self.data.ids, kk, tchunk,
-                )
-                self._add_dist_comps(nd)
-                d, ids = np.asarray(d), np.asarray(ids)
-                if kk < k:
-                    d = np.pad(d, ((0, 0), (0, k - kk)), constant_values=np.inf)
-                    ids = np.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
-                return self._finalize_knn(d, ids)
+        finish = self._taat_dispatch(points, k)
+        if finish is not None:
+            return finish()
         qenc = self.space.encode_queries(points)
         d, ids, nd = _daat_knn(self.space, qenc, self.data, k, self._chunk)
         self._add_dist_comps(nd)
         return self._finalize_knn(d, ids)
+
+    def knn_async(self, points, k: int):
+        """Async variant: dispatch now, materialize on call (the packed
+        result stays on device until the finisher runs)."""
+        if self.data is None:
+            raise IndexNotBuiltError("simple_invindx: index not built")
+        finish = self._taat_dispatch(points, k)
+        if finish is not None:
+            return finish
+        return super().knn_async(points, k)

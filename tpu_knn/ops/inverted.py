@@ -153,6 +153,32 @@ def taat_topk(pdoc_blocks, pval_blocks, block_ids, ublock, w, corpus_ids,
     ids [nq,k], touched [nq]) with dist = -accumulated dot (negdotprod
     convention; untouched docs are +inf like a DAAT heap that never saw
     them)."""
+    return _taat_topk_core(pdoc_blocks, pval_blocks, block_ids, ublock, w,
+                           corpus_ids, k, chunk)
+
+
+@partial(jax.jit, static_argnames=("meta", "k", "chunk"))
+def taat_topk_packed(pdoc_blocks, pval_blocks, buf, meta, corpus_ids,
+                     k: int, chunk: int):
+    """Packed-transport variant (ops/qpack): the batch plan
+    (block_ids/ublock/w) arrives as ONE uint32 upload and the (dists,
+    ids) result leaves as ONE [nq, 2k] int32 download — at nq=1 on 1M
+    the eager path's three plan uploads + two result downloads are ~90%
+    of the 99 ms wall vs the ~5-10 ms device dispatch (VERDICT r4 item
+    6; reference latency regime: simple_inverted_index.cc:47-260 DAAT).
+    Returns (packed_result, touched)."""
+    from . import qpack as Q
+
+    plan = Q.unpack_device(buf, meta)
+    cd, ids, nd = _taat_topk_core(
+        pdoc_blocks, pval_blocks, plan["block_ids"], plan["ublock"],
+        plan["w"], corpus_ids, k, chunk,
+    )
+    return Q.pack_results(cd, ids), nd
+
+
+def _taat_topk_core(pdoc_blocks, pval_blocks, block_ids, ublock, w, corpus_ids,
+                    k: int, chunk: int):
     nq = w.shape[1]
     n_rows = corpus_ids.shape[0]
     nb_pad = block_ids.shape[0]

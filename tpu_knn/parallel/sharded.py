@@ -122,7 +122,7 @@ class DistributedSeqSearch:
     top-k merges over ICI."""
 
     name = "seq_search"
-    supports_range = False
+    supports_range = True
     supports_incremental = False
     progress = False
 
@@ -178,9 +178,29 @@ class DistributedSeqSearch:
         return np.where(bad, np.inf, d), np.where(bad, -1, ids)
 
     def range(self, points, radius: float):
-        from ..core.errors import RuntimeNmsError
+        """Sharded exact range scan: per-shard radius scan + associative
+        all_gather merge (reference per-thread range merge,
+        seqsearch.cc:128-139). Same [(ids, dists)] contract as the
+        single-device seq_search."""
+        import numpy as np
 
-        raise RuntimeNmsError("distributed seq_search does not support range yet")
+        from ..core.errors import IndexNotBuiltError
+
+        if self.data is None:
+            raise IndexNotBuiltError("seq_search: index not built")
+        qenc = self.space.encode_queries(points)
+        counts, dk, ids = sharded_range(
+            self.space, qenc, self.data, radius, self.mesh, self.precision,
+            self.axis,
+        )
+        self.dist_comps += counts.shape[0] * int(self.data.count)
+        f32 = np.zeros(0, np.float32)
+        if dk is None:
+            return [(np.zeros(0, np.int32), f32) for _ in range(counts.shape[0])]
+        dk, ids = np.asarray(dk), np.asarray(ids)
+        return [
+            (ids[i, :c].copy(), dk[i, :c].copy()) for i, c in enumerate(counts)
+        ]
 
     def add_batch(self, store, new_positions):
         from ..core.errors import RuntimeNmsError
@@ -198,6 +218,111 @@ class DistributedSeqSearch:
 
     def restore(self, store, state, params=None) -> None:
         self.create_index(store, params)
+
+
+def sharded_range(
+    space,
+    qenc: dict,
+    data,
+    radius: float,
+    mesh: Mesh,
+    precision: str = "float32",
+    axis: str = SHARD_AXIS,
+):
+    """Exact range search with the corpus sharded across ``mesh``
+    (VERDICT r4 item 7; reference semantics: seqsearch.cc:109-141 scan +
+    the per-thread range merge of seqsearch.cc:128-139). Two passes like
+    the single-device streamed scan (methods/seq_search.range): a
+    counts pass (per-shard hit count, psum over the mesh axis), then a
+    collect pass sized by the global max count — per-shard ascending
+    smallest-cap within radius, merged with the same associative
+    all_gather + re-top-k used for kNN. Returns (counts[Q],
+    dists[Q,cap], ids[Q,cap]) with (+inf, -1) past each query's count;
+    cap==0 collapses to empty results."""
+    from ..core.dataset import round_up
+
+    corpus = space.corpus_dict(data)
+    corpus.pop("count", None)
+    corpus.pop("row_mask", None)
+    corpus["pad"] = data.extra["pad"]
+    if "term" not in corpus and getattr(data, "row_term", None) is not None:
+        corpus["term"] = data.row_term
+    import numpy as np
+
+    counts = np.asarray(_sharded_range_counts_jit(
+        space, qenc, corpus, float(radius), mesh, precision, axis
+    ))
+    if counts.max(initial=0) == 0:
+        return counts, None, None
+    cap = min(int(round_up(int(counts.max()), 128)), data.ids.shape[0])
+    dk, ids = _sharded_range_collect_jit(
+        space, qenc, corpus, data.ids, float(radius), cap, mesh, precision, axis
+    )
+    return counts, dk, ids
+
+
+def _local_corpus_block(space, qenc_l, corpus_l, precision):
+    """Distance block [Q, n_local] over one shard's corpus rows (padding
+    rows carry the 1e30 term so they fail every radius test)."""
+    xc = {"x": corpus_l["vecs"], "pad": corpus_l["pad"]}
+    if corpus_l.get("term") is not None:
+        xc["x_term"] = corpus_l["term"]
+    for key, arr in corpus_l.items():
+        if key not in ("vecs", "pad", "term"):
+            xc[key] = arr
+    return space.block(qenc_l, xc, precision)
+
+
+@partial(jax.jit, static_argnames=("space", "mesh", "precision", "axis"))
+def _sharded_range_counts_jit(space, qenc, corpus, radius, mesh, precision, axis):
+    def local(qenc_l, corpus_l):
+        d = _local_corpus_block(space, qenc_l, corpus_l, precision)
+        c = jnp.sum((d <= radius).astype(jnp.int32), axis=1)
+        return jax.lax.psum(c, axis)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), qenc),
+            {k_: (P() if k_ == "vocab_mark" else P(axis)) for k_ in corpus},
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return f(qenc, corpus)
+
+
+@partial(jax.jit, static_argnames=("space", "cap", "mesh", "precision", "axis"))
+def _sharded_range_collect_jit(
+    space, qenc, corpus, ids, radius, cap, mesh, precision, axis
+):
+    def local(qenc_l, corpus_l, ids_l):
+        d = _local_corpus_block(space, qenc_l, corpus_l, precision)
+        d = jnp.where(d <= radius, d, jnp.inf)
+        kk = min(cap, d.shape[1])
+        dk, pos = T.smallest_k(d, kk)
+        out_ids = jnp.where(
+            pos >= 0, ids_l[jnp.clip(pos, 0, ids_l.shape[0] - 1)], -1
+        )
+        out_ids = jnp.where(jnp.isinf(dk), -1, out_ids)
+        if kk < cap:
+            dk = jnp.pad(dk, ((0, 0), (0, cap - kk)), constant_values=jnp.inf)
+            out_ids = jnp.pad(out_ids, ((0, 0), (0, cap - kk)), constant_values=-1)
+        return merge_sharded_topk(dk, out_ids, cap, axis)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), qenc),
+            {k_: (P() if k_ == "vocab_mark" else P(axis)) for k_ in corpus},
+            P(axis),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(qenc, corpus, ids)
 
 
 def merge_sharded_topk(dists, ids, k: int, axis: str = SHARD_AXIS):
