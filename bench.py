@@ -275,7 +275,8 @@ def bench_u8_sift(n=1_000_000, d=128, nq=2048, k=10):
     from tpu_knn.eval.datasets import sift_like
 
     x = sift_like(n + nq, d, seed=0).astype(np.uint8)
-    idx = Index("l2sqr_sift", method="seq_search", data_type=DataKind.UINT8)
+    idx = Index("l2sqr_sift", Params(dim=d), "seq_search",
+                "dense_uint8_vector", "int")
     idx.add_uint8_batch(x[:n])
     queries = x[n : n + nq]
     dt, ids = _timed_batch(idx, queries, k)

@@ -387,3 +387,56 @@ def test_simple_invindx_packed_transport(rng):
     # TPU FTZ zeroes subnormal id bitcasts; CLAUDE.md)
     np.testing.assert_array_equal(out[True][0], out[False][0])
     assert out[True][2] == out[False][2]
+
+
+def test_napp_gathered_rerank_matches_fused(rng):
+    """invProcAlg=gather (candidate-gathered rerank, VERDICT r4 item 2)
+    must reproduce the fused masked-scan results whenever the dbScanFrac
+    budget covers every candidate — same ids, distances, and dist-comp
+    accounting semantics (candidates scored + pivot distances)."""
+    def mk(n):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(3, 12))
+            ids = np.sort(rng.choice(np.arange(1, 80), size=nnz, replace=False))
+            out.append((ids, rng.random(nnz).astype(np.float32)))
+        return out
+
+    xs, qs = mk(300), mk(16)
+    idx = Index("cosinesimil_sparse", method="napp", data_type=DataKind.SPARSE)
+    idx.add_sparse_batch(xs)
+    idx.build_index(Params(numPivot=32, numPrefix=8, seed=3))
+    out = {}
+    # frac=4: the per-chunk budget (frac*n/num_chunks) must reach the
+    # chunk width for full candidate coverage (uneven candidate
+    # density truncates lowest-count first below that)
+    for alg, frac in (("scan", 0.05), ("gather", 4.0)):
+        idx.set_query_time_params(Params(invProcAlg=alg, dbScanFrac=frac,
+                                         minTimes=2))
+        d, ids = idx.knn_query_batch(qs, 5)
+        out[alg] = (np.asarray(d), np.asarray(ids))
+    ds, is_ = out["scan"]
+    dg, ig = out["gather"]
+    both = (is_ >= 0) & (ig >= 0)
+    np.testing.assert_array_equal(is_[both], ig[both])
+    np.testing.assert_allclose(ds[both], dg[both], rtol=5e-3, atol=1e-5)
+
+    # a tight budget still returns valid (possibly truncated) results
+    idx.set_query_time_params(Params(invProcAlg="gather", dbScanFrac=0.02))
+    d2, i2 = idx.knn_query_batch(qs, 5)
+    assert (np.asarray(i2)[:, 0] >= 0).any()
+
+    # dense spaces ride the same path (score_rows affine einsum)
+    x = rng.standard_normal((256, 16)).astype(np.float32)
+    dn = Index("l2", Params(dim=16), method="napp")
+    dn.add_dense_batch(x)
+    dn.build_index(Params(numPivot=32, numPrefix=8))
+    dn.set_query_time_params(Params(invProcAlg="gather", dbScanFrac=1.0))
+    dd, di = dn.knn_query_batch(x[:8], 3)
+    assert (np.asarray(di)[:, 0] == np.arange(8)).all()
+
+    # unknown algs fail fast
+    import pytest as _pytest
+    from tpu_knn.core.errors import InvalidArgumentError
+    with _pytest.raises(InvalidArgumentError):
+        idx.set_query_time_params(Params(invProcAlg="wand"))
