@@ -72,7 +72,9 @@ def knn_ok(space_name, params, store_kind, points, q_idx=0, dist_type=None):
     res = idx.knn_query(points[q_idx], 2)
     if "negdotprod" in space_name:
         return bool(res.ids[0] >= 0)
-    return bool(res.ids[0] == q_idx)
+    # sparse auto-ids are 1-based (reference contract, lib.zig:748)
+    want = q_idx + 1 if store_kind is DataKind.SPARSE else q_idx
+    return bool(res.ids[0] == want)
 
 
 def dense_family(rng):
