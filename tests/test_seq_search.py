@@ -29,7 +29,10 @@ def test_knn_single_and_autobuild():
     # no explicit build_index: auto-build on first query (lib.zig:800)
     res = idx.knn_query(x[3], k=2)
     assert res.ids[0] == 3
-    assert res.dists[0] < 1e-5
+    # self-distance sits at the l2 norm-identity cancellation floor
+    # (sqrt(eps_f32 * |x|^2) ~ 1e-3 on TPU; exact on the CPU backend) —
+    # the suite runs on both (TPU_KNN_TEST_TPU=1)
+    assert res.dists[0] < 5e-3
 
 
 def test_k_larger_than_corpus():

@@ -420,7 +420,15 @@ def _sketch_chunks(col, val, R, v_pad: int, chunk: int):
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-        return _densify(c, v, v_pad) @ R
+        # explicit precision: a bare @ runs at TPU default (bf16 passes)
+        # — caught by the round-5 on-chip suite as a 5e-3 drift against
+        # the gather backend (verify-skill gotcha: distance/projection
+        # kernels must pass precision explicitly)
+        return jnp.dot(
+            _densify(c, v, v_pad), R,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
 
     out = jax.lax.map(
         one,
