@@ -88,7 +88,12 @@ def test_query_batch_bucketing():
         d2, i2 = idx.knn_query_batch(q, 3)
         idx.query_batch_bucketing = True
         np.testing.assert_array_equal(i1, i2)
-        np.testing.assert_array_equal(d1, d2)
+        # bucketing changes the padded batch shape, hence the matmul
+        # tiling/reduction order: distances agree only to the l2
+        # cancellation floor on TPU (bit-equal on CPU). Near-zero
+        # distances amplify the floor through the sqrt (~1e-6 on d^2 /
+        # 2d), so the absolute tolerance covers small-d rows.
+        np.testing.assert_allclose(d1, d2, rtol=5e-3, atol=5e-4)
 
 
 def test_reference_registry_name_aliases():
